@@ -1,0 +1,38 @@
+"""tpu-algames: a TPU-native engine for constrained dynamic games.
+
+Brand-new JAX/XLA implementation of the ALGAMES capabilities
+(RoboticExplorationLab/Algames.jl): open-loop generalized Nash equilibria for
+N-player trajectory games via a quasi-Newton root-find on the stacked KKT
+conditions with an augmented-Lagrangian treatment of inequality constraints.
+
+The public API mirrors the reference export manifest
+(``/root/reference/src/Algames.jl:20-165``) in snake_case; the architecture
+is TPU-first: static shapes, dense per-knot blocks, batched block-tridiagonal
+KKT factorization, the whole solver under ``jit``/``vmap``/``shard_map``.
+"""
+
+from .core.spec import ProblemSpec, spec_from_model
+from .core.traj import (PrimalDual, delta_step, init_traj, pack_traj,
+                        reset_duals, unpack_step, update_traj, zero_traj)
+from .models import (BicycleGame, DoubleIntegratorGame, GameModel,
+                     QuadrotorGame, UnicycleGame, bicycle_game,
+                     double_integrator_game, quadrotor_game, rk2_step,
+                     rk3_step, rollout_rk3, step_jacobians, unicycle_game)
+from .objective import (GameObjective, add_collision_cost, cost_gradient,
+                        cost_hessian, expand_vector, game_objective,
+                        total_cost)
+from .constraints import (ConBlock, CylinderWall, GameConstraints, Wall,
+                          Wall3D, add_circle_constraint,
+                          add_collision_avoidance, add_control_bound,
+                          add_spherical_collision_avoidance, add_state_bound,
+                          add_velocity_bound, add_wall_constraint,
+                          control_violation, dual_update, game_constraints,
+                          penalty_update, reset_constraints,
+                          set_constraint_params, state_violation,
+                          update_active_set)
+from .problem import (GameProblem, IBROptions, Options, SolveResult,
+                      game_problem, newton_solve, newton_solve_jit)
+from .stats import Statistics
+from .utils import scn
+
+__version__ = "0.1.0"

@@ -1,0 +1,81 @@
+"""Solver options.
+
+TPU-native equivalent of the reference ``Options`` / ``IBROptions`` /
+``Regularizer`` (``src/struct/options.jl:5-136``,
+``src/struct/regularizer.jl:5-15``).  A single frozen (hashable) dataclass:
+it is *static* under jit — iteration caps and flags shape the compiled
+program; scalar knobs are baked as constants (re-jit on change, which is the
+idiomatic JAX treatment of solver hyper-parameters).  Penalty state that
+evolves during the solve (rho, reg schedule) lives in the solver carry, not
+here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class Options:
+    # Gauss-Newton convergence tolerance (reference theta).
+    theta: float = 1e-2
+    # Initialization amplitude of the primal-dual vector.
+    amplitude_init: float = 1e-8
+    # Shift of the trajectory for the initial guess (MPC warm start uses 1).
+    shift: int = 2 ** 10
+
+    # Regularization (reference Regularizer has per-kind x/u/lam coefficients;
+    # only x and u are ever applied: src/problem/global_quantities.jl:168-178).
+    regularize: bool = True
+    reg_0: float = 1e-3
+
+    # Line search.
+    alpha_0: float = 1.0
+    alpha_increase: float = 1.2
+    alpha_decrease: float = 0.5
+    beta: float = 0.01
+    ls_iter: int = 25
+    delta_min: float = 1e-9
+
+    # Augmented Lagrangian penalty schedule.
+    rho_0: float = 1.0
+    rho_trial: float = 1.0
+    rho_increase: float = 10.0
+    rho_max: float = 1e7
+    lam_max: float = 1e7
+    alpha_dual: float = 1.0
+    alphax_dual: Tuple[float, ...] = (1.0,) * 10
+    active_set_tolerance: float = 1e-4
+
+    # Convergence criteria.
+    eps_dyn: float = 1e-3
+    eps_sta: float = 1e-3
+    eps_con: float = 1e-3
+    eps_opt: float = 1e-3
+
+    # Iteration caps.
+    outer_iter: int = 7
+    inner_iter: int = 20
+
+    # Objective scaling (unused by the reference solver path, kept for parity).
+    gamma: float = 1.0
+
+    # MPC.
+    mpc_horizon: int = 20
+    upsampling: int = 2
+
+    # Printing / reproducibility.
+    inner_print: bool = False
+    outer_print: bool = False
+    seed: int = 100
+    dual_reset: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class IBROptions:
+    """Iterative-best-response options (reference ``IBROptions``,
+    ``src/struct/options.jl:123-136``)."""
+    ibr_iter: int = 100
+    ordering: Tuple[int, ...] = tuple(range(100))
+    delta_min: float = 1e-9
+    live_plotting: bool = False

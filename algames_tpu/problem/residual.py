@@ -1,0 +1,279 @@
+"""KKT residual and Jacobian-block assembly.
+
+TPU-native equivalent of the reference's global residual/Jacobian assembly
+(``src/problem/global_quantities.jl:4-193``) and the per-knot dynamics
+quantities (``src/problem/local_quantities.jl:5-27``).
+
+Where the reference scatters SubArray views into a sparse S×S matrix, this
+module produces *dense per-knot blocks* in a ``[T, ...]`` leading-axis
+layout — the KKT matrix is block tridiagonal in the knot index (SURVEY.md
+§3.2) and is never materialized sparse:
+
+  per-knot variable block  v_t = [x_{t+1} (n) | u_t (m) | lam_{0..p-1,t} (p n)]
+  per-knot equation block  e_t = [statx(i,t) i=0..p-1 | statu(t) | dyn(t)]
+
+  D[t] = de_t/dv_t,  U[t] = de_t/dv_{t+1},  L[t] = de_t/dv_{t-1}
+
+with entries (0-based t; cf. ``global_quantities.jl:128-171``):
+
+  statx(i,t) rows:  Qblk[t,i] at x-cols;  -I at lam_i-cols;  A_{t+1}^T in U[t]
+  statu(t) rows:    Ublk[t] at u-cols;    B_t[:,pu_i]^T at lam_i-cols (rows pu_i)
+  dyn(t) rows:      -I at x-cols;  B_t at u-cols;  A_t in L[t]
+
+The Jacobian is quasi-Newton exactly as the reference: second derivatives of
+the dynamics (d(A^T lam)/dx) are dropped.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constraints import sets as gcm
+from ..core.spec import ProblemSpec
+from ..core.traj import PrimalDual
+from ..models.integration import rk2_step, step_jacobians_traj
+from ..objective.objective import cost_gradient, cost_hessian
+from ..utils import pytree_dataclass
+
+
+@pytree_dataclass
+class Residual:
+    """Structured KKT residual.
+
+    rx [T, p, n]: stationarity wrt x_{t+1} per player
+    ru [T, m]:    stationarity wrt u_t (interleaved player ownership)
+    rd [T, n]:    dynamics defects  f(x_t, u_t) - x_{t+1}
+    """
+    rx: jnp.ndarray
+    ru: jnp.ndarray
+    rd: jnp.ndarray
+
+
+def owner_map_u(spec: ProblemSpec) -> np.ndarray:
+    """owner_u[j] = player owning control index j."""
+    owner = np.zeros((spec.m,), np.int32)
+    for i in range(spec.p):
+        owner[np.asarray(spec.pu[i])] = i
+    return owner
+
+
+def dynamics_residual(model, spec: ProblemSpec, traj: PrimalDual) -> jnp.ndarray:
+    """RK2 defects [T, n] (reference ``dynamics_residual``,
+    ``local_quantities.jl:13-15``)."""
+    step = jax.vmap(lambda x, u: rk2_step(model, x, u, spec.dt))
+    return step(traj.x[:-1], traj.u) - traj.x[1:]
+
+
+def residual(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+             traj: PrimalDual, reg: jnp.ndarray | float = 0.0,
+             traj_ref: PrimalDual | None = None) -> Residual:
+    """Full KKT residual (reference ``residual!`` + ``regularize_residual!``,
+    ``global_quantities.jl:9-97``).
+
+    ``reg``/``traj_ref`` implement the Tikhonov pull toward a reference
+    trajectory used during line search; at ``traj_ref = traj`` it vanishes.
+    """
+    T, p, n, m = spec.T, spec.p, spec.n, spec.m
+    qx, ru_cost = cost_gradient(spec, obj, traj)            # [p,N,n], [p,T,m]
+
+    # --- cost gradients ----------------------------------------------------
+    rx = jnp.transpose(qx[:, 1:], (1, 0, 2))                # [T, p, n]
+    owner = owner_map_u(spec)
+    ru = ru_cost[owner, :, np.arange(m)].T                  # [T, m]
+
+    # --- dynamics-dual terms ----------------------------------------------
+    A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
+    # rx[t, i] += A_{t+1}^T lam_{i,t+1}  (t = 0..T-2)
+    AtL = jnp.einsum('tab,pta->ptb', A[1:], traj.lam[:, 1:])   # [p, T-1, n]
+    rx = rx.at[:-1].add(jnp.transpose(AtL, (1, 0, 2)))
+    # rx[t, i] += -lam_{i,t}
+    rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
+    # ru[t, pu_i] += (B_t[:, pu_i])^T lam_{i,t}  -> full: B^T lam_owner per col
+    BtL = jnp.einsum('tab,pta->ptb', B, traj.lam)           # [p, T, m]
+    ru = ru + BtL[owner, :, np.arange(m)].T
+
+    # --- constraint AL gradients ------------------------------------------
+    for blk in gc.state_blocks:
+        grad, _ = gcm.al_expansion(blk, traj)               # [T, n]
+        rx = rx.at[:, blk.owner].add(grad)
+    for blk in gc.control_blocks:
+        grad, _ = gcm.al_expansion(blk, traj)               # [T, m]
+        ru = ru + grad                                      # pu partitions cols
+
+    # --- regularization ----------------------------------------------------
+    if traj_ref is not None:
+        rx = rx + reg * (traj.x[1:] - traj_ref.x[1:])[:, None, :]
+        ru = ru + reg * (traj.u - traj_ref.u)
+
+    # --- dynamics rows ------------------------------------------------------
+    rd = dynamics_residual(model, spec, traj)
+    return Residual(rx=rx, ru=ru, rd=rd)
+
+
+def residual_norm(spec: ProblemSpec, res: Residual) -> jnp.ndarray:
+    """Mean 1-norm over all S entries (reference ``residual_norm``,
+    ``global_quantities.jl:88-96``)."""
+    total = (jnp.sum(jnp.abs(res.rx)) + jnp.sum(jnp.abs(res.ru))
+             + jnp.sum(jnp.abs(res.rd)))
+    return total / spec.S
+
+
+def optimality_violation(res: Residual) -> jnp.ndarray:
+    """Max-abs over all stationarity rows (reference
+    ``optimality_violation``, ``src/struct/violations.jl:152-168``)."""
+    return jnp.maximum(jnp.max(jnp.abs(res.rx)), jnp.max(jnp.abs(res.ru)))
+
+
+def dynamics_violation(res: Residual) -> jnp.ndarray:
+    """Max-abs dynamics defect (reference ``dynamics_violation``,
+    ``src/struct/violations.jl:16-24``)."""
+    return jnp.max(jnp.abs(res.rd))
+
+
+# --------------------------------------------------------------------------
+# Jacobian ingredients and block-tridiagonal assembly
+# --------------------------------------------------------------------------
+
+@pytree_dataclass
+class JacBlocks:
+    """Dense per-knot ingredients of the KKT Jacobian."""
+    Qblk: jnp.ndarray   # [T, p, n, n] stationarity-x Hessian blocks
+    Ublk: jnp.ndarray   # [T, m, m]    stationarity-u Hessian blocks
+    A: jnp.ndarray      # [T, n, n]    RK2 d/dx at every interval
+    B: jnp.ndarray      # [T, n, m]    RK2 d/du
+
+
+def jacobian_blocks(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+                    traj: PrimalDual, reg_x=0.0, reg_u=0.0) -> JacBlocks:
+    """Assemble Jacobian ingredients (reference ``residual_jacobian!`` +
+    ``regularize_residual_jacobian!``, ``global_quantities.jl:109-193``)."""
+    T, p, n, m = spec.T, spec.p, spec.n, spec.m
+    dtype = traj.x.dtype
+    Qx, Ru = cost_hessian(spec, obj, traj)                  # [p,N,n,n],[p,T,m,m]
+
+    Qblk = jnp.transpose(Qx[:, 1:], (1, 0, 2, 3))           # [T, p, n, n]
+    # Control Hessian: owner-sliced sub-blocks [pu_i, pu_i] of player i's Ru.
+    Ublk = jnp.zeros((T, m, m), dtype)
+    for i in range(p):
+        pu = np.asarray(spec.pu[i])
+        Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
+            Ru[i][:, pu[:, None], pu[None, :]])
+
+    # Constraint AL Hessians.
+    for blk in gc.state_blocks:
+        _, hess = gcm.al_expansion(blk, traj)               # [T, n, n]
+        Qblk = Qblk.at[:, blk.owner].add(hess)
+    for blk in gc.control_blocks:
+        _, hess = gcm.al_expansion(blk, traj)               # [T, m, m]
+        for i in range(p):
+            pu = np.asarray(spec.pu[i])
+            Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
+                hess[:, pu[:, None], pu[None, :]])
+
+    # Tikhonov regularization on primal diagonals.
+    diag_n, diag_m = np.arange(n), np.arange(m)
+    Qblk = Qblk.at[:, :, diag_n, diag_n].add(reg_x)
+    Ublk = Ublk.at[:, diag_m, diag_m].add(reg_u)
+
+    A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
+    return JacBlocks(Qblk=Qblk, Ublk=Ublk, A=A, B=B)
+
+
+def build_tridiagonal(spec: ProblemSpec, jb: JacBlocks):
+    """Pack ingredients into block-tridiagonal (D, U, L) of W×W blocks.
+
+    D [T, W, W]; U [T-1, W, W] couples e_t to v_{t+1}; L [T-1, W, W] couples
+    e_{t+1} to v_t (stored shifted: L[t] multiplies v_t in equation e_{t+1}).
+    """
+    T, p, n, m, W = spec.T, spec.p, spec.n, spec.m, spec.W
+    dtype = jb.A.dtype
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    D = jnp.zeros((T, W, W), dtype)
+    # statx rows & Q blocks + (-I) at own lam cols
+    for i in range(p):
+        r0 = i * n
+        D = D.at[:, r0:r0 + n, 0:n].set(jb.Qblk[:, i])
+        c0 = n + m + i * n
+        D = D.at[:, r0:r0 + n, c0:c0 + n].add(-eye_n)
+    # statu rows
+    ru0 = p * n
+    D = D.at[:, ru0:ru0 + m, n:n + m].set(jb.Ublk)
+    for i in range(p):
+        pu = np.asarray(spec.pu[i])
+        c0 = n + m + i * n
+        # rows pu_i of statu, cols lam_i: B_t[:, pu_i]^T
+        D = D.at[:, ru0 + pu, c0:c0 + n].set(
+            jnp.transpose(jb.B[:, :, pu], (0, 2, 1)))
+    # dyn rows
+    rd0 = p * n + m
+    D = D.at[:, rd0:rd0 + n, 0:n].add(-eye_n)
+    D = D.at[:, rd0:rd0 + n, n:n + m].set(jb.B)
+
+    U = jnp.zeros((T - 1, W, W), dtype)
+    At1 = jnp.transpose(jb.A[1:], (0, 2, 1))                # [T-1, n, n]
+    for i in range(p):
+        r0 = i * n
+        c0 = n + m + i * n
+        U = U.at[:, r0:r0 + n, c0:c0 + n].set(At1)
+
+    L = jnp.zeros((T - 1, W, W), dtype)
+    L = L.at[:, rd0:rd0 + n, 0:n].set(jb.A[1:])
+    return D, U, L
+
+
+def residual_knot_blocks(spec: ProblemSpec, res: Residual) -> jnp.ndarray:
+    """Residual in per-knot equation order [T, W] matching (D, U, L) rows."""
+    T, p, n = spec.T, spec.p, spec.n
+    return jnp.concatenate(
+        [res.rx.reshape(T, p * n), res.ru, res.rd], axis=1)
+
+
+# --------------------------------------------------------------------------
+# Reference-order flattening (test oracles, IBR masks, active-set system)
+# --------------------------------------------------------------------------
+
+def flatten_residual(spec: ProblemSpec, res: Residual) -> jnp.ndarray:
+    """Flatten to the reference's vertical row order
+    (``src/core/newton_core.jl:40-63``): player-major [x-rows; u-rows] per
+    knot, then dynamics rows."""
+    parts = []
+    for i in range(spec.p):
+        pu = np.asarray(spec.pu[i])
+        # per knot: n x-rows then mi u-rows
+        xi = res.rx[:, i]                       # [T, n]
+        ui = res.ru[:, pu]                      # [T, mi]
+        parts.append(jnp.concatenate([xi, ui], axis=1).reshape(-1))
+    parts.append(res.rd.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def flatten_jacobian(spec: ProblemSpec, jb: JacBlocks) -> jnp.ndarray:
+    """Dense S×S Jacobian in reference (row, column) order — the oracle and
+    dense-fallback path; columns follow ``core/spec.py`` horizontal order."""
+    S, T, p, n, m = spec.S, spec.T, spec.p, spec.n, spec.m
+    dtype = jb.A.dtype
+    J = jnp.zeros((S, S), dtype)
+    eye_n = jnp.eye(n, dtype=dtype)
+    for t in range(T):
+        cx, cu = spec.col_x(t), spec.col_u(t)
+        for i in range(p):
+            pu = np.asarray(spec.pu[i])
+            cl = spec.col_lam(i, t)
+            rx = spec.row_stat_x(i, t)
+            ru = spec.row_stat_u(i, t)
+            J = J.at[rx:rx + n, cx:cx + n].add(jb.Qblk[t, i])
+            J = J.at[rx:rx + n, cl:cl + n].add(-eye_n)
+            if t + 1 < T:
+                cl1 = spec.col_lam(i, t + 1)
+                J = J.at[rx:rx + n, cl1:cl1 + n].add(jb.A[t + 1].T)
+            J = J.at[ru:ru + len(pu), cl:cl + n].add(jb.B[t][:, pu].T)
+            J = J.at[ru:ru + len(pu), cu + pu].add(jb.Ublk[t][pu])
+        rd = spec.row_dyn(t)
+        J = J.at[rd:rd + n, cx:cx + n].add(-eye_n)
+        J = J.at[rd:rd + n, cu:cu + m].add(jb.B[t])
+        if t >= 1:
+            cxm = spec.col_x(t - 1)
+            J = J.at[rd:rd + n, cxm:cxm + n].add(jb.A[t])
+    return J
