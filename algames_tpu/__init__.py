@@ -32,7 +32,12 @@ from .constraints import (ConBlock, CylinderWall, GameConstraints, Wall,
                           update_active_set)
 from .problem import (GameProblem, IBROptions, Options, SolveResult,
                       game_problem, newton_solve, newton_solve_jit)
+from .problem.ibr import (ibr_newton_solve, ibr_newton_solve_jit,
+                          ibr_newton_solve_player)
 from .stats import Statistics
 from .utils import scn
+from . import parallel  # noqa: E402  (registers ag.parallel.*)
+from . import active_set  # noqa: E402
+from .mpc import MPCResult, mpc_solve, mpc_solve_jit  # noqa: E402
 
 __version__ = "0.1.0"

@@ -1,0 +1,192 @@
+"""Equilibrium-subspace analysis: active-set extended KKT + nullspace.
+
+TPU-native equivalent of the reference active-set machinery
+(``src/active_set/active_set_core.jl``, ``active_set_methods.jl``,
+``active_set_stamp.jl``): the KKT system is extended with one scalar row per
+*unordered* colliding player pair per knot (the shared constraint value) and
+one scalar column per *ordered* pair per knot (each player's own multiplier
+on that constraint):
+
+  Sv = S + (N-1) p(p-1)/2        rows     (CStamp :v, i<j, k=2..N)
+  Sh = S + (N-1) p(p-1)          columns  (CStamp :h, i!=j, k=2..N)
+
+``update_nullspace`` masks the extended Jacobian down to the active rows /
+columns and takes an SVD nullspace — a basis for the manifold of nearby
+generalized Nash equilibria (research feature; dense, host-driven, exactly
+like the reference's ``nullspace(Matrix(jac[vmask, hmask]))`` at
+``active_set_methods.jl:180-183``).
+
+Index layout (0-based) mirrors ``complete_vertical/horizontal_indices``
+(``active_set_core.jl:98-155``): appended entries are knot-major, pair-minor
+in lexicographic order.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..constraints import sets as gcm
+from ..constraints.kernels import CollisionParams
+from ..core.spec import ProblemSpec
+from ..core.traj import PrimalDual
+from ..problem import residual as R
+from ..problem.problem import GameProblem
+from ..utils import pytree_dataclass
+
+
+def unordered_pairs(p: int) -> List[Tuple[int, int]]:
+    return [(i, j) for i in range(p) for j in range(i + 1, p)]
+
+
+def ordered_pairs(p: int) -> List[Tuple[int, int]]:
+    return [(i, j) for i in range(p) for j in range(p) if j != i]
+
+
+def sizes(spec: ProblemSpec) -> Tuple[int, int]:
+    """(Sv, Sh) of the extended system (``active_set_core.jl:61-63``)."""
+    p, T = spec.p, spec.T
+    return (spec.S + T * (p * (p - 1)) // 2, spec.S + T * p * (p - 1))
+
+
+def vrow(spec: ProblemSpec, i: int, j: int, k: int) -> int:
+    """Appended row of unordered pair (i<j) at knot k (0-based k=1..N-1,
+    matching the reference's k=2..N applied knots)."""
+    assert i < j and 1 <= k <= spec.T
+    pairs = unordered_pairs(spec.p)
+    return spec.S + (k - 1) * len(pairs) + pairs.index((i, j))
+
+
+def hcol(spec: ProblemSpec, i: int, j: int, k: int) -> int:
+    """Appended column of ordered pair (i, j) at knot k (0-based)."""
+    assert i != j and 1 <= k <= spec.T
+    pairs = ordered_pairs(spec.p)
+    return spec.S + (k - 1) * len(pairs) + pairs.index((i, j))
+
+
+def get_collision_block(gc: gcm.GameConstraints, spec: ProblemSpec,
+                        i: int, j: int):
+    """Find player i's collision conval against player j
+    (reference ``get_collision_conval``, ``active_set_methods.jl:76-90``)."""
+    for blk in gc.state_blocks:
+        if (isinstance(blk.params, CollisionParams) and blk.owner == i
+                and tuple(blk.params.pxj) == tuple(spec.px[j])):
+            return blk
+    return None
+
+
+def active(gc: gcm.GameConstraints, spec: ProblemSpec, i: int, j: int,
+           k: int) -> bool:
+    """Active flag of the (i, j, k) collision constraint (reference
+    ``active``, ``active_set_methods.jl:5-26``).  k is the 0-based knot
+    (1..N-1); the block row for knot k is k-1."""
+    blk = get_collision_block(gc, spec, i, j)
+    if blk is None:
+        return False
+    return bool(np.asarray(blk.active)[k - 1, 0])
+
+
+def extended_residual(prob: GameProblem, traj: PrimalDual) -> jnp.ndarray:
+    """[Sv] = base flat residual ++ collision constraint values
+    (reference ``residual!(ascore, ...)``, ``active_set_methods.jl:97-125``)."""
+    spec = prob.spec
+    Sv, _ = sizes(spec)
+    base = R.residual(prob.model, spec, prob.obj, prob.gc, traj)
+    out = jnp.zeros((Sv,), traj.x.dtype)
+    out = out.at[:spec.S].set(R.flatten_residual(spec, base))
+    for (i, j) in unordered_pairs(spec.p):
+        blk = get_collision_block(prob.gc, spec, i, j)
+        if blk is None:
+            continue
+        vals = gcm.block_values(blk, traj)        # [T, 1]
+        for k in range(1, spec.T + 1):
+            out = out.at[vrow(spec, i, j, k)].add(vals[k - 1, 0])
+    return out
+
+
+def extended_jacobian(prob: GameProblem, traj: PrimalDual) -> jnp.ndarray:
+    """[Sv, Sh] dense extended Jacobian (reference
+    ``residual_jacobian!(ascore, ...)``, ``active_set_methods.jl:132-170``)."""
+    spec = prob.spec
+    Sv, Sh = sizes(spec)
+    jb = R.jacobian_blocks(prob.model, spec, prob.obj, prob.gc, traj)
+    J = jnp.zeros((Sv, Sh), traj.x.dtype)
+    J = J.at[:spec.S, :spec.S].set(R.flatten_jacobian(spec, jb))
+    n = spec.n
+    for (i, j) in ordered_pairs(spec.p):
+        blk = get_collision_block(prob.gc, spec, i, j)
+        if blk is None:
+            continue
+        jac = gcm.block_jacobian(blk, traj)       # [T, 1, n]
+        for k in range(1, spec.T + 1):
+            # opt-i x_k rows x new dual column: grad c^T
+            r0 = spec.row_stat_x(i, k - 1)
+            J = J.at[r0:r0 + n, hcol(spec, i, j, k)].add(jac[k - 1, 0])
+            # new constraint row x x_k columns: grad c (only for i<j rows)
+            if i < j:
+                c0 = spec.col_x(k - 1)
+                J = J.at[vrow(spec, i, j, k), c0:c0 + n].add(jac[k - 1, 0])
+    return J
+
+
+def active_masks(prob: GameProblem, gc: gcm.GameConstraints):
+    """(vmask, hmask): indices 0..S-1 plus the appended entries whose
+    collision constraint is active (reference ``active_vertical_mask!`` /
+    ``active_horizontal_mask!``, ``active_set_methods.jl:28-72``)."""
+    spec = prob.spec
+    vmask = list(range(spec.S))
+    for k in range(1, spec.T + 1):
+        for (i, j) in unordered_pairs(spec.p):
+            if active(gc, spec, i, j, k):
+                vmask.append(vrow(spec, i, j, k))
+    hmask = list(range(spec.S))
+    for k in range(1, spec.T + 1):
+        for (i, j) in ordered_pairs(spec.p):
+            if active(gc, spec, i, j, k):
+                hmask.append(hcol(spec, i, j, k))
+    return np.asarray(sorted(vmask)), np.asarray(sorted(hmask))
+
+
+@pytree_dataclass
+class NullSpace:
+    """Nullspace basis of the active-set Jacobian (reference ``NullSpace``,
+    ``active_set_core.jl:5-45``): columns of ``mat`` span the kernel; ``vec``
+    are the full-Sh embeddings, split into trajectory and collision-dual
+    parts, each normalized by its mean absolute value."""
+    mat: jnp.ndarray      # [len(hmask), dim]
+    vec: jnp.ndarray      # [dim, Sh]
+    dtraj: jnp.ndarray    # [dim, S]
+    dlam: jnp.ndarray     # [dim, Sh - S]
+
+
+def nullspace_basis(M: jnp.ndarray, atol: float = 1e-10) -> jnp.ndarray:
+    """Kernel basis via SVD (Julia ``nullspace`` semantics with explicit
+    atol: rank = #{s > atol} over the computed singular values; columns of V
+    beyond min(r, c) are always in the kernel)."""
+    _, s, Vh = jnp.linalg.svd(M, full_matrices=True)
+    rank = int(jnp.sum(s > atol))
+    return Vh[rank:].T
+
+
+def update_nullspace(prob: GameProblem, traj: PrimalDual,
+                     atol: float = 1e-10) -> NullSpace:
+    """Reference ``update_nullspace!`` (``active_set_methods.jl:173-184``):
+    refresh active set -> masks -> extended Jacobian -> SVD nullspace."""
+    spec = prob.spec
+    Sv, Sh = sizes(spec)
+    gc = gcm.update_active_set(prob.gc, traj)
+    prob2 = GameProblem(spec=spec, model=prob.model, opts=prob.opts,
+                        x0=prob.x0, obj=prob.obj, gc=gc)
+    vmask, hmask = active_masks(prob2, gc)
+    J = extended_jacobian(prob2, traj)
+    M = J[np.ix_(vmask, hmask)]
+    mat = nullspace_basis(M, atol)
+    dim = mat.shape[1]
+    vec = jnp.zeros((dim, Sh), traj.x.dtype)
+    vec = vec.at[:, hmask].set(mat.T)
+    norm = jnp.mean(jnp.abs(vec), axis=1, keepdims=True)
+    norm = jnp.where(norm > 0, norm, 1.0)
+    vec = vec / norm
+    return NullSpace(mat=mat, vec=vec, dtraj=vec[:, :spec.S],
+                     dlam=vec[:, spec.S:])

@@ -1,0 +1,7 @@
+from .batch import convergence_fraction, solve_batch, solve_batch_jit
+from .shard import make_mesh, sharded_monte_carlo, sharded_monte_carlo_jit
+
+__all__ = [
+    "solve_batch", "solve_batch_jit", "convergence_fraction",
+    "make_mesh", "sharded_monte_carlo", "sharded_monte_carlo_jit",
+]

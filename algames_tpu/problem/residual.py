@@ -269,7 +269,8 @@ def flatten_jacobian(spec: ProblemSpec, jb: JacBlocks) -> jnp.ndarray:
                 cl1 = spec.col_lam(i, t + 1)
                 J = J.at[rx:rx + n, cl1:cl1 + n].add(jb.A[t + 1].T)
             J = J.at[ru:ru + len(pu), cl:cl + n].add(jb.B[t][:, pu].T)
-            J = J.at[ru:ru + len(pu), cu + pu].add(jb.Ublk[t][pu])
+            J = J.at[ru:ru + len(pu), cu + pu].add(
+                jb.Ublk[t][pu[:, None], pu[None, :]])
         rd = spec.row_dyn(t)
         J = J.at[rd:rd + n, cx:cx + n].add(-eye_n)
         J = J.at[rd:rd + n, cu:cu + m].add(jb.B[t])

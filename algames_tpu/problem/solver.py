@@ -152,10 +152,15 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
     return traj, stats, last_vio, delta_last
 
 
-def newton_solve(prob: GameProblem, key=None, method: str = "tridiag"):
+def newton_solve(prob: GameProblem, key=None, method: str = "tridiag",
+                 warm: PrimalDual | None = None):
     """Full ALGAMES solve (reference ``newton_solve!``,
     ``solver_methods.jl:5-65``).  Pure function of the problem pytree;
     jit/vmap/shard_map-ready.  Returns a :class:`SolveResult`.
+
+    ``warm`` enables the MPC warm start: the previous solution is shifted by
+    ``opts.shift`` knots (``init_traj!`` s-shift semantics,
+    ``src/struct/primal_dual_traj.jl:29-44``) before the RK3 rollout.
     """
     spec, model, opts = prob.spec, prob.model, prob.opts
     dtype = prob.x0.dtype
@@ -163,7 +168,7 @@ def newton_solve(prob: GameProblem, key=None, method: str = "tridiag"):
     # Initial trajectory: small random primal-dual init + RK3 rollout
     # (solver_methods.jl:12-18).
     traj0 = init_traj(spec, prob.x0, key=key, amplitude=opts.amplitude_init,
-                      shift=opts.shift)
+                      shift=opts.shift, prev=warm)
     traj0 = PrimalDual(x=rollout_rk3(model, prob.x0, traj0.u, spec.dt),
                        u=traj0.u, lam=traj0.lam)
 

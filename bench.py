@@ -1,0 +1,64 @@
+"""Headline benchmark: batched 3-player N=20 game solves/s per chip.
+
+Runs the BASELINE.json flagship config — 3-player unicycle merge with
+collision-avoidance and control-bound constraints, N=20 knots — as a vmapped
+batch of full ALGAMES solves (AL outer loop + Newton inner loop + line search
++ block-tridiagonal KKT factorizations, all on device) and reports throughput.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "solves/s", "vs_baseline": ...}
+vs_baseline is against the driver target of 1000 solves/s/chip
+(BASELINE.md "Targets").
+"""
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    dtype = jnp.float32        # TPU-native precision; f64 path is CPU-only
+    import algames_tpu as ag
+    from __graft_entry__ import _flagship_problem
+
+    # Full default solve budget semantics, f32 tolerances: the solver stops
+    # per-lane once the 1e-3 violation gates pass (same gates as reference).
+    prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
+
+    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    reps = int(os.environ.get("BENCH_REPS", "3"))
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.tile(prob.x0[None], (batch, 1))
+    x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
+
+    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x).traj.x)
+
+    # Warm-up / compile.
+    out = fn(x0s)
+    jax.block_until_ready(out)
+
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(x0s)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    solves_per_s = batch / t
+
+    assert np.all(np.isfinite(np.asarray(out))), "non-finite trajectories"
+
+    print(json.dumps({
+        "metric": "3p_unicycle_N20_solves_per_s_per_chip",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / 1000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

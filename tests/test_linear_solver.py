@@ -1,0 +1,70 @@
+"""Structured KKT solve: block-Thomas vs dense vs plain jnp.linalg.solve."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import algames_tpu as ag
+from algames_tpu.problem import residual as R
+from algames_tpu.problem.linear_solver import (newton_step, solve_dense,
+                                               solve_tridiagonal)
+
+
+def _kkt_system(p=2, N=6, seed=0):
+    model = ag.unicycle_game(p=p)
+    spec = ag.spec_from_model(model, N, 0.1)
+    obj = ag.game_objective(spec, [jnp.ones(4)] * p, [0.5 * jnp.ones(2)] * p,
+                            [jnp.zeros(4)] * p, [jnp.zeros(2)] * p,
+                            dtype=jnp.float64)
+    gc = ag.game_constraints(spec)
+    gc = ag.add_control_bound(spec, gc, jnp.ones(spec.m), -jnp.ones(spec.m))
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(seed), 3)
+    traj = ag.PrimalDual(
+        x=jax.random.normal(k1, (spec.N, spec.n), jnp.float64),
+        u=jax.random.normal(k2, (spec.T, spec.m), jnp.float64),
+        lam=jax.random.normal(k3, (spec.p, spec.T, spec.n), jnp.float64))
+    jb = R.jacobian_blocks(model, spec, obj, gc, traj, reg_x=1e-3, reg_u=1e-3)
+    D, U, L = R.build_tridiagonal(spec, jb)
+    res = R.residual(model, spec, obj, gc, traj)
+    b = R.residual_knot_blocks(spec, res)
+    return spec, D, U, L, b
+
+
+def test_tridiag_matches_dense():
+    spec, D, U, L, b = _kkt_system()
+    y_dense = solve_dense(spec, D, U, L, b)
+    y_tri = solve_tridiagonal(spec, D, U, L, b)
+    np.testing.assert_allclose(np.asarray(y_tri), np.asarray(y_dense),
+                               rtol=1e-8, atol=1e-8)
+
+
+def test_solution_satisfies_system():
+    spec, D, U, L, b = _kkt_system(seed=3)
+    T, W = spec.T, spec.W
+    y = solve_tridiagonal(spec, D, U, L, b).reshape(T, W)
+    # Verify block rows: L y_{t-1} + D y_t + U y_{t+1} = b_t
+    for t in range(T):
+        lhs = D[t] @ y[t]
+        if t >= 1:
+            lhs = lhs + L[t - 1] @ y[t - 1]
+        if t + 1 < T:
+            lhs = lhs + U[t] @ y[t + 1]
+        np.testing.assert_allclose(np.asarray(lhs), np.asarray(b[t]),
+                                   rtol=1e-8, atol=1e-8)
+
+
+def test_newton_step_sign():
+    spec, D, U, L, b = _kkt_system(seed=5)
+    y = newton_step(spec, D, U, L, b, method="tridiag")
+    y2 = solve_tridiagonal(spec, D, U, L, -b)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_batched_vmap_solve():
+    spec, D, U, L, b = _kkt_system()
+    batch = 4
+    Db = jnp.stack([D * (1 + 0.01 * i) for i in range(batch)])
+    bb = jnp.stack([b * (1 + i) for i in range(batch)])
+    ys = jax.vmap(lambda d, r: solve_tridiagonal(spec, d, U, L, r))(Db, bb)
+    for i in range(batch):
+        yi = solve_tridiagonal(spec, Db[i], U, L, bb[i])
+        np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(yi), rtol=1e-10)
