@@ -83,3 +83,192 @@ def newton_step(spec, D, U, L, b_knots, method: str = "tridiag"):
     if method == "dense":
         return solve_dense(spec, D, U, L, -b_knots)
     return solve_tridiagonal(spec, D, U, L, -b_knots)
+
+
+def solve_cyclic_reduction(spec, D, U, L, b_knots):
+    """Block cyclic reduction — the horizon-parallel TPU fast path.
+
+    Where block-Thomas is a T-step sequential scan of small ops (dominated on
+    TPU by per-step dispatch overhead, not FLOPs), cyclic reduction runs
+    ceil(log2 T) *levels*, each eliminating every odd-indexed block
+    simultaneously with a handful of LARGE batched ops:
+
+      y_odd = D_odd^{-1} (b_odd - Lh_odd y_{odd-1} - Uh_odd y_{odd+1})
+      D'_e  = D_e - Lh_e D_{e-1}^{-1} Uh_{e-1} - Uh_e D_{e+1}^{-1} Lh_{e+1}
+      Lh'_e = -Lh_e D_{e-1}^{-1} Lh_{e-1};  Uh'_e = -Uh_e D_{e+1}^{-1} Uh_{e+1}
+      b'_e  = b_e - Lh_e D_{e-1}^{-1} b_{e-1} - Uh_e D_{e+1}^{-1} b_{e+1}
+
+    Each level's solves are pivoted LU batched over [B x T/2] matrices — the
+    regime where the TPU LU kernel is fast.  Stability rests on the diagonal
+    blocks staying invertible at every level (the reference's pivoting-free
+    concern, SURVEY.md §7 hard part 1); the Tikhonov-regularized KKT blocks
+    satisfy this in practice and the result is validated against block-Thomas
+    in tests.
+
+    Args: D [T, W, W]; U, L [T-1, W, W] (L[t] = sub-diagonal block of
+    equation t+1); b_knots [T, W].  Returns flat [S].
+    """
+    T, W = spec.T, spec.W
+    dtype = D.dtype
+    zero = jnp.zeros((1, W, W), dtype)
+    Lh = jnp.concatenate([zero, L], axis=0)          # [T] sub-diag of eq t
+    Uh = jnp.concatenate([U, zero], axis=0)          # [T] super-diag of eq t
+    b = b_knots
+
+    # Reduce: record per-level (D_odd, Lh_odd, Uh_odd, b_odd, had_pad).
+    stack = []
+    while D.shape[0] > 1:
+        Tl = D.shape[0]
+        if Tl % 2 == 1:  # pad with identity block / zero couplings
+            eye = jnp.eye(W, dtype=dtype)[None]
+            D = jnp.concatenate([D, eye], axis=0)
+            Lh = jnp.concatenate([Lh, jnp.zeros((1, W, W), dtype)], axis=0)
+            Uh = jnp.concatenate([Uh, jnp.zeros((1, W, W), dtype)], axis=0)
+            b = jnp.concatenate([b, jnp.zeros((1, W), dtype)], axis=0)
+            Tl += 1
+        Do, De = D[1::2], D[0::2]
+        Lo, Le = Lh[1::2], Lh[0::2]
+        Uo, Ue = Uh[1::2], Uh[0::2]
+        bo, be = b[1::2], b[0::2]
+        # Solve against every odd diagonal block once: D_o^{-1} [L_o U_o b_o]
+        rhs = jnp.concatenate([Lo, Uo, bo[..., None]], axis=-1)
+        sol = jnp.linalg.solve(Do, rhs)
+        DiL, DiU, Dib = sol[..., :W], sol[..., W:2 * W], sol[..., 2 * W]
+        stack.append((DiL, DiU, Dib, Tl))
+
+        ne = De.shape[0]
+        # Even block t uses odd neighbors t-1 (odd index t//2 - 1... careful:
+        # even positions 0,2,4..; left odd neighbor of even j is odd j-1 ->
+        # odd array index (j-1)//2 = jj-1 for even index jj; right neighbor
+        # odd j+1 -> index jj.
+        Dn = De
+        Ln = jnp.zeros_like(Le)
+        Un = jnp.zeros_like(Ue)
+        bn = be
+        # right odd neighbor exists for even jj when jj < #odd
+        no = DiL.shape[0]
+        m_r = min(ne, no)
+        Dn = Dn.at[:m_r].add(-Ue[:m_r] @ DiL[:m_r])
+        Un = Un.at[:m_r].set(-Ue[:m_r] @ DiU[:m_r])
+        bn = bn.at[:m_r].add(-jnp.einsum('tij,tj->ti', Ue[:m_r], Dib[:m_r]))
+        # left odd neighbor exists for even jj >= 1 (odd index jj-1)
+        if ne > 1:
+            Dn = Dn.at[1:].add(-Le[1:] @ DiU[:ne - 1])
+            Ln = Ln.at[1:].set(-Le[1:] @ DiL[:ne - 1])
+            bn = bn.at[1:].add(-jnp.einsum('tij,tj->ti', Le[1:], Dib[:ne - 1]))
+        D, Lh, Uh, b = Dn, Ln, Un, bn
+
+    y = jnp.linalg.solve(D[0], b[0])
+    ys = y[None]
+
+    # Back-substitute up the levels.
+    for (DiL, DiU, Dib, Tl) in reversed(stack):
+        half = Tl // 2
+        y_even = ys[:half]                           # trim any coarser pad
+        # y_odd[j] = Dib[j] - DiL[j] y_even[j] - DiU[j] y_even[j+1]
+        y_odd = Dib - jnp.einsum('tij,tj->ti', DiL, y_even)
+        if half > 1:
+            y_odd = y_odd.at[:half - 1].add(
+                -jnp.einsum('tij,tj->ti', DiU[:half - 1], y_even[1:]))
+        merged = jnp.zeros((Tl, W), dtype)
+        merged = merged.at[0::2].set(y_even)
+        merged = merged.at[1::2].set(y_odd)
+        ys = merged
+    return ys[:T].reshape(-1)
+
+
+def solve_tridiagonal_schur(spec, jb, b_knots):
+    """Structure-exploiting block-Thomas solve — the TPU fast path.
+
+    Exploits the *interior* structure of each W×W KKT block instead of
+    treating it as dense:
+
+    * statx rows are ``[Q_i | 0 | -I(own lam)]`` — the -I pivots eliminate all
+      p·n multiplier unknowns exactly (no conditioning loss):
+      ``lam_i = Q_i x - a_i``.
+    * The Thomas fill-in ``Lhat_t G_{t-1}`` touches only [dyn rows x lam cols]
+      because Lhat lives in dyn-rows/x-cols and G's nonzero columns are the
+      lam block of U.
+
+    Each scan step therefore reduces to a handful of n×n / n×m batched
+    matmuls (MXU) plus ONE pivoted solve of size (n+m) with (p·n + 1)
+    right-hand sides — versus a (W = n+m+p·n)-size pivoted solve in the
+    generic path.  For the 3-player unicycle flagship: 18×18 instead of
+    54×54 (27x fewer LU FLOPs, 3x shorter sequential pivot chain).
+
+    Args: ``jb``: JacBlocks; ``b_knots`` [T, W] (pass the NEGATED residual to
+    get the Newton step).  Returns flat [S] in per-knot column order.
+    """
+    import numpy as np
+
+    T, n, m, p = spec.T, spec.n, spec.m, spec.p
+    pn, W = p * n, spec.W
+    dtype = jb.A.dtype
+    pu = np.stack([np.asarray(spec.pu[i]) for i in range(p)])   # [p, mi]
+    eye_n = jnp.eye(n, dtype=dtype)
+
+    zero_n = jnp.zeros((1, n, n), dtype)
+    Asub = jnp.concatenate([zero_n, jb.A[1:]], axis=0)   # sub-diag A_t (0 at t=0)
+    Asup = jnp.concatenate([jb.A[1:], zero_n], axis=0)   # super-diag A_{t+1} (0 at T-1)
+    # Per-player control columns of B: [T, p, n, mi].
+    Bp_all = jb.B[:, :, pu.reshape(-1)].reshape(T, n, p, -1).transpose(0, 2, 1, 3)
+
+    def fwd(carry, inp):
+        G_prev, y_prev = carry                       # [W, pn], [W]
+        Q, Ub, Bt, Bp, At, At1, b = inp
+        # Thomas fill-in: only dyn rows x lam cols.
+        F = -At @ G_prev[:n]                         # [n, pn]
+        F3 = F.reshape(n, p, n)
+
+        # Reduced (x, u) system K w = rhs after eliminating lam = Q x - a.
+        BtQ_p = jnp.einsum('pnk,pnq->pkq', Bp, Q)    # [p, mi, n]
+        BtQ = jnp.zeros((m, n), dtype).at[pu].set(BtQ_p)
+        FQ = jnp.einsum('aib,ibq->aq', F3, Q)        # [n, n]
+        K = jnp.concatenate([
+            jnp.concatenate([BtQ, Ub], axis=1),
+            jnp.concatenate([-eye_n + FQ, Bt], axis=1)], axis=0)
+
+        # RHS columns for G (U_t's lam columns: a_i = At1^T in block i).
+        At1T = At1.T
+        cG_p = jnp.einsum('pnk,nq->pkq', Bp, At1T)   # [p, mi, n]
+        cG = jnp.zeros((m, pn), dtype)
+        dG3 = jnp.einsum('aib,bq->aiq', F3, At1T)    # [n, p, n]
+        for i in range(p):
+            cG = cG.at[pu[i], i * n:(i + 1) * n].set(cG_p[i])
+        dG = dG3.reshape(n, pn)
+
+        # RHS column for y (with the dyn-row Lhat correction).
+        a = b[:pn].reshape(p, n)
+        c = b[pn:pn + m]
+        d = b[pn + m:] - At @ y_prev[:n]
+        cy = c.at[pu].add(jnp.einsum('pnk,pn->pk', Bp, a))
+        dy = d + jnp.einsum('aib,ib->a', F3, a)
+
+        RHS = jnp.concatenate([
+            jnp.concatenate([cG, cy[:, None]], axis=1),
+            jnp.concatenate([dG, dy[:, None]], axis=1)], axis=0)
+        sol = jnp.linalg.solve(K, RHS)               # [(n+m), pn+1]
+        X, Uu = sol[:n], sol[n:]
+
+        # Reconstruct the eliminated multipliers: lam_i = Q_i x - a_i.
+        lamG = jnp.einsum('pab,bq->paq', Q, X[:, :pn])   # [p, n, pn]
+        for i in range(p):
+            lamG = lamG.at[i, :, i * n:(i + 1) * n].add(-At1T)
+        lamG = lamG.reshape(pn, pn)
+        lamy = (jnp.einsum('pab,b->pa', Q, X[:, pn]) - a).reshape(pn)
+
+        G_t = jnp.concatenate([X[:, :pn], Uu[:, :pn], lamG], axis=0)
+        y_t = jnp.concatenate([X[:, pn], Uu[:, pn], lamy])
+        return (G_t, y_t), (G_t, y_t)
+
+    init = (jnp.zeros((W, pn), dtype), jnp.zeros((W,), dtype))
+    _, (G, yhat) = jax.lax.scan(
+        fwd, init, (jb.Qblk, jb.Ublk, jb.B, Bp_all, Asub, Asup, b_knots))
+
+    def bwd(y_next, inp):
+        G_t, yhat_t = inp
+        y_t = yhat_t - G_t @ y_next[n + m:]
+        return y_t, y_t
+
+    _, ys = jax.lax.scan(bwd, jnp.zeros((W,), dtype), (G, yhat), reverse=True)
+    return ys.reshape(-1)

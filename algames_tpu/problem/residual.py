@@ -230,6 +230,67 @@ def residual_knot_blocks(spec: ProblemSpec, res: Residual) -> jnp.ndarray:
         [res.rx.reshape(T, p * n), res.ru, res.rd], axis=1)
 
 
+def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+             traj: PrimalDual, reg: jnp.ndarray | float = 0.0):
+    """Fused residual + Jacobian-ingredient assembly for the Newton loop.
+
+    Computes everything :func:`residual` and :func:`jacobian_blocks` produce
+    in ONE pass: the RK2 (A, B) Jacobians and each constraint block's AL
+    expansion (values, jacobian, grad, hess) are evaluated once and shared —
+    the reference evaluates them twice per inner iteration
+    (``global_quantities.jl:9-66`` then ``:109-193``).
+    Regularization ``reg`` is applied to the Jacobian diagonals only (the
+    residual pull term vanishes at the reference point, which is how the
+    solver calls it).
+    Returns (Residual, JacBlocks).
+    """
+    T, p, n, m = spec.T, spec.p, spec.n, spec.m
+    dtype = traj.x.dtype
+
+    qx, ru_cost = cost_gradient(spec, obj, traj)
+    Qx, Ru = cost_hessian(spec, obj, traj)
+    A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
+
+    # --- residual ---------------------------------------------------------
+    rx = jnp.transpose(qx[:, 1:], (1, 0, 2))
+    owner = owner_map_u(spec)
+    ru = ru_cost[owner, :, np.arange(m)].T
+    AtL = jnp.einsum('tab,pta->ptb', A[1:], traj.lam[:, 1:])
+    rx = rx.at[:-1].add(jnp.transpose(AtL, (1, 0, 2)))
+    rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
+    BtL = jnp.einsum('tab,pta->ptb', B, traj.lam)
+    ru = ru + BtL[owner, :, np.arange(m)].T
+
+    # --- jacobian ingredients --------------------------------------------
+    Qblk = jnp.transpose(Qx[:, 1:], (1, 0, 2, 3))
+    Ublk = jnp.zeros((T, m, m), dtype)
+    for i in range(p):
+        pu = np.asarray(spec.pu[i])
+        Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
+            Ru[i][:, pu[:, None], pu[None, :]])
+
+    # --- constraints: one expansion, both targets -------------------------
+    for blk in gc.state_blocks:
+        grad, hess = gcm.al_expansion(blk, traj)
+        rx = rx.at[:, blk.owner].add(grad)
+        Qblk = Qblk.at[:, blk.owner].add(hess)
+    for blk in gc.control_blocks:
+        grad, hess = gcm.al_expansion(blk, traj)
+        ru = ru + grad
+        for i in range(p):
+            pu = np.asarray(spec.pu[i])
+            Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
+                hess[:, pu[:, None], pu[None, :]])
+
+    diag_n, diag_m = np.arange(n), np.arange(m)
+    Qblk = Qblk.at[:, :, diag_n, diag_n].add(reg)
+    Ublk = Ublk.at[:, diag_m, diag_m].add(reg)
+
+    rd = dynamics_residual(model, spec, traj)
+    return (Residual(rx=rx, ru=ru, rd=rd),
+            JacBlocks(Qblk=Qblk, Ublk=Ublk, A=A, B=B))
+
+
 # --------------------------------------------------------------------------
 # Reference-order flattening (test oracles, IBR masks, active-set system)
 # --------------------------------------------------------------------------

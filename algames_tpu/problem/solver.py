@@ -37,7 +37,8 @@ from ..models.integration import rollout_rk3
 from ..stats import Statistics, init_stats, record
 from ..utils import pytree_dataclass
 from . import residual as R
-from .linear_solver import newton_step
+from .linear_solver import (newton_step, solve_cyclic_reduction,
+                            solve_tridiagonal_schur)
 from .problem import GameProblem
 
 
@@ -115,7 +116,10 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         l, stop, traj, stats, last_vio, delta_prev = c
         reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4   # reference l^4 schedule
 
-        res = R.residual(model, spec, obj, gc, traj)
+        # Fused residual + Jacobian assembly (one constraint expansion and
+        # one dynamics-Jacobian pass for both, see residual.assemble).
+        reg_eff = reg if opts.regularize else 0.0
+        res, jb = R.assemble(model, spec, obj, gc, traj, reg=reg_eff)
         res_norm = R.residual_norm(spec, res)
         dyn_v, con_v, sta_v, opt_v = _violations(model, spec, gc, traj, res)
         stats = record(stats, True, outer_k + 1, res_norm, delta_prev,
@@ -124,13 +128,16 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
 
         stop_opt = opt_v < opts.eps_opt
 
-        # Jacobian + structured Newton step (solver_methods.jl:84-88).
-        reg_eff = reg if opts.regularize else 0.0
-        jb = R.jacobian_blocks(model, spec, obj, gc, traj,
-                               reg_x=reg_eff, reg_u=reg_eff)
-        D, U, L = R.build_tridiagonal(spec, jb)
+        # Structured Newton step (solver_methods.jl:84-88).
         b = R.residual_knot_blocks(spec, res)
-        dflat = newton_step(spec, D, U, L, b, method=method)
+        if method == "schur":
+            dflat = solve_tridiagonal_schur(spec, jb, -b)
+        elif method == "cr":
+            D, U, L = R.build_tridiagonal(spec, jb)
+            dflat = solve_cyclic_reduction(spec, D, U, L, -b)
+        else:
+            D, U, L = R.build_tridiagonal(spec, jb)
+            dflat = newton_step(spec, D, U, L, b, method=method)
         dtraj = unpack_step(spec, dflat)
 
         alpha, j, found = line_search(model, spec, obj, gc, opts, traj,

@@ -10,6 +10,7 @@ whole solve stays jittable and vmappable.  ``iter`` counts valid rows.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from .utils import pytree_dataclass
 
@@ -35,6 +36,24 @@ def init_stats(capacity: int, dtype=jnp.float64) -> Statistics:
         res=z, delta=z, alpha=z,
         dyn_vio=z, con_vio=z, sta_vio=z, opt_vio=z,
     )
+
+
+def print_stats(stats: Statistics, header: bool = True) -> None:
+    """Host-side console table of the recorded iterations (reference
+    ``display_solver_header/data``, ``src/utils.jl:37-61``)."""
+    from .utils import scn
+
+    it = int(np.asarray(stats.iter)) if hasattr(stats.iter, "shape") else int(stats.iter)
+    if header:
+        print(f"{'out':<4} {'res':<9} {'Δ':<9} {'dyn':<9} {'con':<9} "
+              f"{'sta':<9} {'opt':<9}")
+    for i in range(it):
+        print(f"{int(stats.outer[i]):<4} {scn(float(stats.res[i])):<9} "
+              f"{scn(float(stats.delta[i])):<9} "
+              f"{scn(float(stats.dyn_vio[i])):<9} "
+              f"{scn(float(stats.con_vio[i])):<9} "
+              f"{scn(float(stats.sta_vio[i])):<9} "
+              f"{scn(float(stats.opt_vio[i])):<9}")
 
 
 def record(stats: Statistics, active, outer, res, delta, alpha,

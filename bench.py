@@ -35,7 +35,7 @@ def main():
     x0s = jnp.tile(prob.x0[None], (batch, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
 
-    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x).traj.x)
+    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="schur").traj.x)
 
     # Warm-up / compile.
     out = fn(x0s)

@@ -5,8 +5,10 @@ import numpy as np
 
 import algames_tpu as ag
 from algames_tpu.problem import residual as R
-from algames_tpu.problem.linear_solver import (newton_step, solve_dense,
-                                               solve_tridiagonal)
+from algames_tpu.problem.linear_solver import (newton_step,
+                                               solve_cyclic_reduction,
+                                               solve_dense, solve_tridiagonal,
+                                               solve_tridiagonal_schur)
 
 
 def _kkt_system(p=2, N=6, seed=0):
@@ -57,6 +59,56 @@ def test_newton_step_sign():
     y = newton_step(spec, D, U, L, b, method="tridiag")
     y2 = solve_tridiagonal(spec, D, U, L, -b)
     np.testing.assert_allclose(np.asarray(y), np.asarray(y2))
+
+
+def test_schur_condensed_matches_thomas():
+    """The structure-condensed fast path produces the same step."""
+    for N, p, seed in ((6, 2, 0), (9, 3, 1), (20, 3, 2)):
+        model = ag.unicycle_game(p=p)
+        spec = ag.spec_from_model(model, N, 0.1)
+        obj = ag.game_objective(spec, [jnp.ones(4)] * p, [0.5 * jnp.ones(2)] * p,
+                                [jnp.zeros(4)] * p, [jnp.zeros(2)] * p,
+                                dtype=jnp.float64)
+        gc = ag.game_constraints(spec)
+        gc = ag.add_control_bound(spec, gc, jnp.ones(spec.m), -jnp.ones(spec.m))
+        ks = jax.random.split(jax.random.PRNGKey(seed), 3)
+        traj = ag.PrimalDual(
+            x=jax.random.normal(ks[0], (spec.N, spec.n), jnp.float64),
+            u=jax.random.normal(ks[1], (spec.T, spec.m), jnp.float64),
+            lam=jax.random.normal(ks[2], (spec.p, spec.T, spec.n), jnp.float64))
+        jb = R.jacobian_blocks(model, spec, obj, gc, traj, 1e-3, 1e-3)
+        D, U, L = R.build_tridiagonal(spec, jb)
+        res = R.residual(model, spec, obj, gc, traj)
+        b = R.residual_knot_blocks(spec, res)
+        y_ref = solve_tridiagonal(spec, D, U, L, b)
+        y_schur = solve_tridiagonal_schur(spec, jb, b)
+        np.testing.assert_allclose(np.asarray(y_schur), np.asarray(y_ref),
+                                   rtol=1e-8, atol=1e-10)
+        y_cr = solve_cyclic_reduction(spec, D, U, L, b)
+        np.testing.assert_allclose(np.asarray(y_cr), np.asarray(y_ref),
+                                   rtol=1e-8, atol=1e-10)
+
+
+def test_solver_methods_agree_end_to_end():
+    """Full solves with every linear-solver method give the same trajectory."""
+    p = 2
+    model = ag.unicycle_game(p=p)
+    N, dt = 10, 0.1
+    spec = ag.spec_from_model(model, N, dt)
+    obj = ag.game_objective(spec, [jnp.ones(4)] * p, [0.5 * jnp.ones(2)] * p,
+                            [jnp.zeros(4)] * p, [-jnp.ones(2)] * p,
+                            dtype=jnp.float64)
+    gc = ag.game_constraints(spec)
+    gc = ag.add_control_bound(spec, gc, jnp.ones(spec.m), -jnp.ones(spec.m))
+    opts = ag.Options(outer_iter=2, inner_iter=4, reg_0=1e-7)
+    x0 = jnp.array([1.0, 2.0, 1.0, 2.0, 0.0, 0.0, 0.9, 0.9])
+    prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
+    ref = ag.newton_solve(prob, method="dense")
+    for method in ("tridiag", "schur", "cr"):
+        out = ag.newton_solve(prob, method=method)
+        np.testing.assert_allclose(np.asarray(out.traj.x),
+                                   np.asarray(ref.traj.x),
+                                   rtol=1e-8, atol=1e-10)
 
 
 def test_batched_vmap_solve():
