@@ -1,7 +1,8 @@
-from .batch import convergence_fraction, solve_batch, solve_batch_jit
+from .batch import (convergence_fraction, divergence_mask, solve_batch,
+                    solve_batch_jit)
 from .shard import make_mesh, sharded_monte_carlo, sharded_monte_carlo_jit
 
 __all__ = [
-    "solve_batch", "solve_batch_jit", "convergence_fraction",
+    "solve_batch", "solve_batch_jit", "convergence_fraction", "divergence_mask",
     "make_mesh", "sharded_monte_carlo", "sharded_monte_carlo_jit",
 ]

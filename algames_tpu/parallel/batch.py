@@ -41,6 +41,19 @@ def solve_batch(prob: GameProblem, x0s: jnp.ndarray, method: str = "tridiag",
 solve_batch_jit = jax.jit(solve_batch, static_argnames=("method",))
 
 
+def divergence_mask(result) -> jnp.ndarray:
+    """Per-lane divergence flags for a batched SolveResult (SURVEY.md §5:
+    the batched analogue of failure detection — NaN/exploding lanes are
+    masked, not fatal).  True where the final residual is non-finite or the
+    trajectory contains non-finite values."""
+    it = jnp.maximum(result.stats.iter - 1, 0)
+    final_res = jax.vmap(lambda a, i: a[i])(result.stats.res, it)
+    bad_res = ~jnp.isfinite(final_res)
+    bad_traj = ~jnp.all(jnp.isfinite(
+        result.traj.x.reshape(result.traj.x.shape[0], -1)), axis=1)
+    return bad_res | bad_traj
+
+
 def convergence_fraction(result, opts) -> jnp.ndarray:
     """Fraction of lanes whose final violations meet the tolerances."""
     it = result.stats.iter

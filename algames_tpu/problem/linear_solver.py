@@ -210,60 +210,63 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     zero_n = jnp.zeros((1, n, n), dtype)
     Asub = jnp.concatenate([zero_n, jb.A[1:]], axis=0)   # sub-diag A_t (0 at t=0)
     Asup = jnp.concatenate([jb.A[1:], zero_n], axis=0)   # super-diag A_{t+1} (0 at T-1)
+    AsupT = jnp.transpose(Asup, (0, 2, 1))               # At1^T per knot
     # Per-player control columns of B: [T, p, n, mi].
     Bp_all = jb.B[:, :, pu.reshape(-1)].reshape(T, n, p, -1).transpose(0, 2, 1, 3)
 
+    # ---- carry-independent precomputation, batched over all T knots -------
+    Q_all = jb.Qblk                                      # [T, p, n, n]
+    BtQ_p = jnp.einsum('tpnk,tpnq->tpkq', Bp_all, Q_all)  # [T, p, mi, n]
+    BtQ = jnp.zeros((T, m, n), dtype).at[:, pu].set(BtQ_p)
+    Kbase = jnp.concatenate([
+        jnp.concatenate([BtQ, jb.Ublk], axis=2),
+        jnp.concatenate([jnp.broadcast_to(-eye_n, (T, n, n)), jb.B], axis=2),
+    ], axis=1)                                           # [T, n+m, n+m]
+
+    a_all = b_knots[:, :pn].reshape(T, p, n)             # statx RHS blocks
+    c_all = b_knots[:, pn:pn + m]
+    d_all = b_knots[:, pn + m:]
+    cG_p = jnp.einsum('tpnk,tnq->tpkq', Bp_all, AsupT)   # [T, p, mi, n]
+    cG = jnp.zeros((T, m, pn), dtype)
+    for i in range(p):
+        cG = cG.at[:, pu[i], i * n:(i + 1) * n].set(cG_p[:, i])
+    cy = c_all.at[:, pu].add(jnp.einsum('tpnk,tpn->tpk', Bp_all, a_all))
+    RHS_top = jnp.concatenate([cG, cy[:, :, None]], axis=2)  # [T, m, pn+1]
+
+    # lam reconstruction base: -blockdiag(At1^T) columns ++ -a column.
+    lam_base = jnp.zeros((T, pn, pn + 1), dtype)
+    for i in range(p):
+        lam_base = lam_base.at[:, i * n:(i + 1) * n, i * n:(i + 1) * n].set(
+            -AsupT)
+    lam_base = lam_base.at[:, :, pn].set(-a_all.reshape(T, pn))
+
     def fwd(carry, inp):
         G_prev, y_prev = carry                       # [W, pn], [W]
-        Q, Ub, Bt, Bp, At, At1, b = inp
+        Q, Kb, Rt, a, d0, At, At1T, lb = inp
         # Thomas fill-in: only dyn rows x lam cols.
         F = -At @ G_prev[:n]                         # [n, pn]
         F3 = F.reshape(n, p, n)
-
-        # Reduced (x, u) system K w = rhs after eliminating lam = Q x - a.
-        BtQ_p = jnp.einsum('pnk,pnq->pkq', Bp, Q)    # [p, mi, n]
-        BtQ = jnp.zeros((m, n), dtype).at[pu].set(BtQ_p)
         FQ = jnp.einsum('aib,ibq->aq', F3, Q)        # [n, n]
-        K = jnp.concatenate([
-            jnp.concatenate([BtQ, Ub], axis=1),
-            jnp.concatenate([-eye_n + FQ, Bt], axis=1)], axis=0)
+        K = Kb.at[m:, :n].add(FQ)
 
-        # RHS columns for G (U_t's lam columns: a_i = At1^T in block i).
-        At1T = At1.T
-        cG_p = jnp.einsum('pnk,nq->pkq', Bp, At1T)   # [p, mi, n]
-        cG = jnp.zeros((m, pn), dtype)
-        dG3 = jnp.einsum('aib,bq->aiq', F3, At1T)    # [n, p, n]
-        for i in range(p):
-            cG = cG.at[pu[i], i * n:(i + 1) * n].set(cG_p[i])
-        dG = dG3.reshape(n, pn)
-
-        # RHS column for y (with the dyn-row Lhat correction).
-        a = b[:pn].reshape(p, n)
-        c = b[pn:pn + m]
-        d = b[pn + m:] - At @ y_prev[:n]
-        cy = c.at[pu].add(jnp.einsum('pnk,pn->pk', Bp, a))
-        dy = d + jnp.einsum('aib,ib->a', F3, a)
-
-        RHS = jnp.concatenate([
-            jnp.concatenate([cG, cy[:, None]], axis=1),
-            jnp.concatenate([dG, dy[:, None]], axis=1)], axis=0)
+        dG = jnp.einsum('aib,bq->aiq', F3, At1T).reshape(n, pn)
+        dy = (d0 - At @ y_prev[:n]
+              + jnp.einsum('aib,ib->a', F3, a))
+        RHS = jnp.concatenate(
+            [Rt, jnp.concatenate([dG, dy[:, None]], axis=1)], axis=0)
         sol = jnp.linalg.solve(K, RHS)               # [(n+m), pn+1]
         X, Uu = sol[:n], sol[n:]
 
         # Reconstruct the eliminated multipliers: lam_i = Q_i x - a_i.
-        lamG = jnp.einsum('pab,bq->paq', Q, X[:, :pn])   # [p, n, pn]
-        for i in range(p):
-            lamG = lamG.at[i, :, i * n:(i + 1) * n].add(-At1T)
-        lamG = lamG.reshape(pn, pn)
-        lamy = (jnp.einsum('pab,b->pa', Q, X[:, pn]) - a).reshape(pn)
-
-        G_t = jnp.concatenate([X[:, :pn], Uu[:, :pn], lamG], axis=0)
-        y_t = jnp.concatenate([X[:, pn], Uu[:, pn], lamy])
+        lam = jnp.einsum('pab,bq->paq', Q, X).reshape(pn, pn + 1) + lb
+        G_t = jnp.concatenate([X[:, :pn], Uu[:, :pn], lam[:, :pn]], axis=0)
+        y_t = jnp.concatenate([X[:, pn], Uu[:, pn], lam[:, pn]])
         return (G_t, y_t), (G_t, y_t)
 
     init = (jnp.zeros((W, pn), dtype), jnp.zeros((W,), dtype))
     _, (G, yhat) = jax.lax.scan(
-        fwd, init, (jb.Qblk, jb.Ublk, jb.B, Bp_all, Asub, Asup, b_knots))
+        fwd, init,
+        (Q_all, Kbase, RHS_top, a_all, d_all, Asub, AsupT, lam_base))
 
     def bwd(y_next, inp):
         G_t, yhat_t = inp

@@ -37,9 +37,17 @@ def main():
 
     fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="schur").traj.x)
 
-    # Warm-up / compile.
+    # Warm-up / compile; also report solution quality to stderr.
     out = fn(x0s)
     jax.block_until_ready(out)
+    q = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="schur"))(x0s)
+    frac = float(ag.parallel.convergence_fraction(q, prob.opts))
+    div = float(jnp.mean(ag.parallel.divergence_mask(q).astype(jnp.float32)))
+    it = jnp.maximum(q.stats.iter - 1, 0)
+    dyn = jax.vmap(lambda a, i: a[i])(q.stats.dyn_vio, it)
+    print(f"[bench] converged_frac={frac:.3f} diverged_frac={div:.3f} "
+          f"median_dyn_vio={float(jnp.median(dyn)):.2e} "
+          f"mean_iters={float(jnp.mean(q.stats.iter)):.1f}", file=sys.stderr)
 
     times = []
     for _ in range(reps):

@@ -1,0 +1,85 @@
+"""MPC replan-latency benchmark — BASELINE config 3 (3-player highway).
+
+Measures p50/p95 replan latency of warm-started receding-horizon replanning
+on device, the real-time budget metric of BASELINE.md.  A replan = one full
+warm-started game solve (residuals, Jacobians, structured KKT factorization,
+line search) from the shifted previous plan.
+"""
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    if os.environ.get("PLATFORM") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    dtype = jnp.float32
+    import algames_tpu as ag
+
+    # 3-player highway: parallel lanes, lane-keeping targets, overtaking
+    # pressure from different target speeds.
+    p = 3
+    model = ag.unicycle_game(p=p)
+    N, dt = 20, 0.1
+    spec = ag.spec_from_model(model, N, dt)
+    obj = ag.game_objective(
+        spec,
+        Q=[jnp.asarray([0.0, 5.0, 1.0, 2.0], dtype)] * p,  # track lane y, heading, speed
+        R=[0.1 * jnp.ones(2, dtype)] * p,
+        xf=[jnp.asarray([10.0, 0.4 * i, 0.0, 0.8 + 0.3 * i], dtype)
+            for i in range(p)],
+        uf=[jnp.zeros(2, dtype)] * p, dtype=dtype)
+    gc = ag.game_constraints(spec, dtype=dtype)
+    gc = ag.add_collision_avoidance(spec, gc, 0.1)
+    gc = ag.add_control_bound(spec, gc, 3 * jnp.ones(2 * p, dtype),
+                              -3 * jnp.ones(2 * p, dtype))
+    opts = ag.Options(outer_iter=2, inner_iter=6, shift=1)
+    x0 = jnp.asarray(np.concatenate([
+        [0.0, -0.5, -1.0], 0.4 * np.arange(p), np.zeros(p),
+        0.8 + 0.3 * np.arange(p)]), dtype)
+    prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
+
+    # One warm-started replan step, jitted standalone.
+    from algames_tpu.core.traj import PrimalDual
+    from algames_tpu.models.integration import rk3_step
+
+    def replan(x, warm):
+        pb = ag.GameProblem(spec=prob.spec, model=prob.model, opts=prob.opts,
+                            x0=x, obj=prob.obj, gc=prob.gc)
+        out = ag.newton_solve(pb, warm=warm, method="schur")
+        return out.traj
+
+    replan_jit = jax.jit(replan)
+    cold = ag.newton_solve_jit(prob, method="schur")
+    warm = cold.traj
+    x = prob.x0
+
+    lat = []
+    for step in range(30):
+        t0 = time.perf_counter()
+        traj = replan_jit(x, warm)
+        jax.block_until_ready(traj.x)
+        lat.append(time.perf_counter() - t0)
+        u0 = traj.u[0]
+        x = rk3_step(model, x, u0, spec.dt / 2)
+        x = rk3_step(model, x, u0, spec.dt / 2)
+        warm = traj
+    lat = np.asarray(lat[2:]) * 1e3  # drop residual warmup
+    print(json.dumps({
+        "metric": "mpc_replan_latency_ms",
+        "p50": round(float(np.percentile(lat, 50)), 2),
+        "p95": round(float(np.percentile(lat, 95)), 2),
+        "unit": "ms",
+        "budget_ms": 100.0,   # RSS-2020 real-time replan budget (10 Hz)
+    }))
+
+
+if __name__ == "__main__":
+    main()
