@@ -132,6 +132,10 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         b = R.residual_knot_blocks(spec, res)
         if method == "schur":
             dflat = solve_tridiagonal_schur(spec, jb, -b)
+        elif method in ("pallas", "pallas_interpret"):
+            from ..ops.thomas_pallas import thomas_pallas_for_spec
+            dflat = thomas_pallas_for_spec(
+                spec, interpret=(method == "pallas_interpret"))(jb, -b)
         elif method == "cr":
             D, U, L = R.build_tridiagonal(spec, jb)
             dflat = solve_cyclic_reduction(spec, D, U, L, -b)

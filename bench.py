@@ -29,18 +29,18 @@ def main():
     # per-lane once the 1e-3 violation gates pass (same gates as reference).
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
 
-    batch = int(os.environ.get("BENCH_BATCH", "1024"))
+    batch = int(os.environ.get("BENCH_BATCH", "512"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     key = jax.random.PRNGKey(0)
     x0s = jnp.tile(prob.x0[None], (batch, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
 
-    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="schur").traj.x)
+    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas").traj.x)
 
     # Warm-up / compile; also report solution quality to stderr.
     out = fn(x0s)
     jax.block_until_ready(out)
-    q = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="schur"))(x0s)
+    q = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas"))(x0s)
     frac = float(ag.parallel.convergence_fraction(q, prob.opts))
     div = float(jnp.mean(ag.parallel.divergence_mask(q).astype(jnp.float32)))
     it = jnp.maximum(q.stats.iter - 1, 0)

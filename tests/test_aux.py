@@ -1,0 +1,75 @@
+"""Auxiliary subsystems: checkpointing, stats printer, scn formatting,
+profiling helpers, divergence masks."""
+import os
+import tempfile
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import algames_tpu as ag
+from algames_tpu import checkpoint as ckpt
+from algames_tpu.parallel import divergence_mask, solve_batch
+from algames_tpu.profiling import phase_profile
+from algames_tpu.stats import init_stats, print_stats, record
+from algames_tpu.utils import scn
+
+
+def test_scn_formatting():
+    # reference scn semantics (src/utils.jl:63-85)
+    assert scn(0.0) == " 0.0e+0"
+    assert scn(123.4) == " 1.2e+2"
+    assert scn(-0.00123) == "-1.2e-3"
+    assert scn(1.0) == " 1.0e+0"
+    # exponent is floored, so 9.99e-7 keeps e-7 (reference scn behavior)
+    assert scn(9.99e-7, digits=2) == " 9.99e-7"
+
+
+def test_stats_record_and_print(capsys):
+    stats = init_stats(4, jnp.float64)
+    one = jnp.asarray(1.0)
+    stats = record(stats, True, 1, one * 0.5, one * 0.1, one,
+                   one * 1e-3, one * 0.0, one * 0.0, one * 2e-2)
+    stats = record(stats, False, 2, one, one, one, one, one, one, one)
+    assert int(stats.iter) == 1            # masked record is a no-op
+    np.testing.assert_allclose(float(stats.res[0]), 0.5)
+    print_stats(stats)
+    out = capsys.readouterr().out
+    assert "5.0e-1" in out and "2.0e-2" in out
+
+
+def test_checkpoint_traj_roundtrip():
+    spec = ag.spec_from_model(ag.unicycle_game(p=2), 6, 0.1)
+    traj = ag.PrimalDual(
+        x=jnp.arange(spec.N * spec.n, dtype=jnp.float64).reshape(spec.N, spec.n),
+        u=jnp.ones((spec.T, spec.m)), lam=2 * jnp.ones((2, spec.T, spec.n)))
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.npz")
+        ckpt.save_traj(path, traj)
+        back = ckpt.load_traj(path)
+        np.testing.assert_allclose(np.asarray(back.x), np.asarray(traj.x))
+        np.testing.assert_allclose(np.asarray(back.lam), np.asarray(traj.lam))
+        back32 = ckpt.load_traj(path, dtype=np.float32)
+        assert back32.x.dtype == jnp.float32
+
+
+def test_divergence_mask_flags_nan_lane():
+    p = 2
+    model = ag.double_integrator_game(p=p)
+    spec = ag.spec_from_model(model, 5, 0.1)
+    obj = ag.game_objective(spec, [jnp.ones(4)] * p, [jnp.ones(2)] * p,
+                            [jnp.zeros(4)] * p, [jnp.zeros(2)] * p,
+                            dtype=jnp.float64)
+    gc = ag.game_constraints(spec)
+    prob = ag.game_problem(5, 0.1, jnp.ones(8), model,
+                           ag.Options(outer_iter=1, inner_iter=2), obj, gc)
+    x0s = jnp.stack([prob.x0, prob.x0.at[0].set(jnp.nan)])
+    out = solve_batch(prob, x0s)
+    mask = np.asarray(divergence_mask(out))
+    assert mask.tolist() == [False, True]
+
+
+def test_phase_profile_runs():
+    f = jax.jit(lambda: jnp.sum(jnp.ones((64, 64))))
+    res = phase_profile({"sum": f}, reps=3)
+    assert res["sum"] >= 0.0

@@ -111,6 +111,66 @@ def test_solver_methods_agree_end_to_end():
                                    rtol=1e-8, atol=1e-10)
 
 
+def test_pallas_thomas_interpret():
+    """Fused Pallas sweep (interpret mode) matches the pivoted Schur path,
+    including with large AL penalties on the Q blocks (the pivoting-free GE
+    stress case, SURVEY.md §7 hard part 1)."""
+    from algames_tpu.ops.thomas_pallas import solve_thomas_pallas
+
+    p = 3
+    model = ag.unicycle_game(p=p)
+    spec = ag.spec_from_model(model, 8, 0.1)
+    obj = ag.game_objective(spec, [jnp.ones(4)] * p, [0.5 * jnp.ones(2)] * p,
+                            [jnp.zeros(4)] * p, [jnp.zeros(2)] * p,
+                            dtype=jnp.float64)
+    gc = ag.game_constraints(spec)
+    gc = ag.add_control_bound(spec, gc, jnp.ones(spec.m), -jnp.ones(spec.m))
+    B = 4
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    trajs = ag.PrimalDual(
+        x=0.3 * jax.random.normal(ks[0], (B, spec.N, spec.n), jnp.float64),
+        u=0.3 * jax.random.normal(ks[1], (B, spec.T, spec.m), jnp.float64),
+        lam=0.3 * jax.random.normal(ks[2], (B, p, spec.T, spec.n), jnp.float64))
+    res, jbs = jax.vmap(lambda tr: R.assemble(model, spec, obj, gc, tr, 1e-3))(trajs)
+    b = jax.vmap(lambda r: R.residual_knot_blocks(spec, r))(res)
+    for penalty in (1.0, 1e7):
+        jbs_s = jbs
+        if penalty != 1.0:
+            # emulate a late-AL-schedule Hessian: huge penalty curvature
+            diag = np.arange(spec.n)
+            jbs_s = R.JacBlocks(
+                Qblk=jbs.Qblk.at[:, :, :, diag, diag].add(penalty),
+                Ublk=jbs.Ublk, A=jbs.A, B=jbs.B)
+        y_ref = jax.vmap(lambda jb, bb: solve_tridiagonal_schur(spec, jb, bb))(jbs_s, b)
+        y_pal = solve_thomas_pallas(spec, jbs_s, b, block_lanes=4, interpret=True)
+        scale = float(jnp.max(jnp.abs(y_ref)))
+        np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                                   atol=1e-7 * max(scale, 1.0), rtol=1e-6)
+
+
+def test_pallas_method_end_to_end_interpret():
+    """Full solver with method=pallas_interpret matches schur lane-for-lane."""
+    prob_dtype = jnp.float32
+    p = 2
+    model = ag.unicycle_game(p=p)
+    N, dt = 6, 0.1
+    spec = ag.spec_from_model(model, N, dt)
+    obj = ag.game_objective(spec, [jnp.ones(4, prob_dtype)] * p,
+                            [0.5 * jnp.ones(2, prob_dtype)] * p,
+                            [jnp.zeros(4, prob_dtype)] * p,
+                            [jnp.zeros(2, prob_dtype)] * p, dtype=prob_dtype)
+    gc = ag.game_constraints(spec, dtype=prob_dtype)
+    opts = ag.Options(outer_iter=1, inner_iter=2, reg_0=1e-5)
+    x0 = jnp.asarray([1.0, 2.0, 1.0, 2.0, 0.0, 0.0, 0.5, 0.5], prob_dtype)
+    prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
+    x0s = jnp.stack([prob.x0, prob.x0 * 1.05, prob.x0 * 0.9, prob.x0 * 1.1])
+    from algames_tpu.parallel import solve_batch
+    q_p = solve_batch(prob, x0s, method="pallas_interpret")
+    q_s = solve_batch(prob, x0s, method="schur")
+    np.testing.assert_allclose(np.asarray(q_p.traj.x), np.asarray(q_s.traj.x),
+                               atol=5e-5)
+
+
 def test_batched_vmap_solve():
     spec, D, U, L, b = _kkt_system()
     batch = 4
