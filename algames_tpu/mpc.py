@@ -37,7 +37,7 @@ class MPCResult:
 
 
 def mpc_solve(prob: GameProblem, horizon: int | None = None,
-              method: str = "tridiag") -> MPCResult:
+              method: str = "schur") -> MPCResult:
     """Run the receding-horizon loop for ``horizon`` plant steps
     (default ``opts.mpc_horizon``).
 

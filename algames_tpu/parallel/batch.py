@@ -25,7 +25,7 @@ def batched_problem(prob: GameProblem, x0s: jnp.ndarray) -> GameProblem:
     return prob, x0s
 
 
-def solve_batch(prob: GameProblem, x0s: jnp.ndarray, method: str = "tridiag",
+def solve_batch(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",
                 keys=None):
     """Solve one game per row of ``x0s`` [B, n]; returns stacked SolveResult."""
     def one(x0, key):

@@ -44,7 +44,7 @@ def make_mesh(n_devices: int | None = None,
 
 
 def sharded_monte_carlo(prob: GameProblem, mesh: Mesh, x0s: jnp.ndarray,
-                        method: str = "tridiag"):
+                        method: str = "schur"):
     """Solve a sharded batch of scenarios and psum summary stats.
 
     ``x0s`` [B, n] with B divisible by mesh size; rows are sharded over
@@ -87,7 +87,7 @@ def sharded_monte_carlo(prob: GameProblem, mesh: Mesh, x0s: jnp.ndarray,
     return shard_fn(x0s)
 
 
-def sharded_monte_carlo_jit(prob, mesh, x0s, method="tridiag"):
+def sharded_monte_carlo_jit(prob, mesh, x0s, method="schur"):
     fn = jax.jit(functools.partial(sharded_monte_carlo, prob, mesh,
                                    method=method))
     return fn(x0s)

@@ -139,9 +139,14 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         elif method == "cr":
             D, U, L = R.build_tridiagonal(spec, jb)
             dflat = solve_cyclic_reduction(spec, D, U, L, -b)
-        else:
+        elif method in ("tridiag", "dense"):
             D, U, L = R.build_tridiagonal(spec, jb)
             dflat = newton_step(spec, D, U, L, b, method=method)
+        else:
+            raise ValueError(
+                f"unknown linear-solver method {method!r}; expected one of "
+                "'schur', 'pallas', 'pallas_interpret', 'cr', 'tridiag', "
+                "'dense'")
         dtraj = unpack_step(spec, dflat)
 
         alpha, j, found = line_search(model, spec, obj, gc, opts, traj,
@@ -163,7 +168,7 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
     return traj, stats, last_vio, delta_last
 
 
-def newton_solve(prob: GameProblem, key=None, method: str = "tridiag",
+def newton_solve(prob: GameProblem, key=None, method: str = "schur",
                  warm: PrimalDual | None = None):
     """Full ALGAMES solve (reference ``newton_solve!``,
     ``solver_methods.jl:5-65``).  Pure function of the problem pytree;
@@ -228,5 +233,5 @@ def newton_solve(prob: GameProblem, key=None, method: str = "tridiag",
 
 
 @functools.partial(jax.jit, static_argnames=("method",))
-def newton_solve_jit(prob: GameProblem, key=None, method: str = "tridiag"):
+def newton_solve_jit(prob: GameProblem, key=None, method: str = "schur"):
     return newton_solve(prob, key=key, method=method)

@@ -31,7 +31,7 @@ def main():
 
     import functools
     fn = jax.jit(functools.partial(sharded_monte_carlo, prob, mesh,
-                                   method="schur"))
+                                   method="pallas"))
     trajs, summary = fn(x0s)
     jax.block_until_ready(trajs)
     t0 = time.perf_counter()

@@ -35,6 +35,31 @@ def test_solve_batch_matches_loop():
     assert 0.0 <= float(frac) <= 1.0
 
 
+def test_mesh_shapes_and_scaling_invariance():
+    """Weak-scaling correctness: the same scenarios solved on a 1-, 2-, 4-,
+    and 8-device mesh produce identical trajectories and summary stats —
+    the collective reductions are size-invariant.  (Throughput scaling is a
+    hardware property measured on real slices; here we pin down that the
+    sharded program is correct at every mesh size.)"""
+    prob = _prob()
+    batch = 8
+    x0s = jnp.tile(prob.x0[None], (batch, 1))
+    x0s = x0s + 0.01 * jax.random.normal(jax.random.PRNGKey(1),
+                                         x0s.shape, jnp.float64)
+    ref = None
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(nd)
+        assert mesh.devices.size == nd
+        trajs, summary = jax.jit(
+            lambda x, m=mesh: sharded_monte_carlo(prob, m, x))(x0s)
+        if ref is None:
+            ref = (np.asarray(trajs), float(summary["converged_frac"]))
+        else:
+            np.testing.assert_allclose(np.asarray(trajs), ref[0],
+                                       rtol=1e-10, atol=1e-10)
+            assert float(summary["converged_frac"]) == ref[1]
+
+
 def test_sharded_monte_carlo_8_devices():
     assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
     prob = _prob()
