@@ -18,10 +18,10 @@ the math here is a direct vectorization over knots, never a port of any
 object hierarchy.
 
 Infinite bounds are handled with a static finite-mask: masked rows evaluate
-to a strictly feasible constant (-1) with zero Jacobian, so they contribute
-nothing to AL gradients, duals, or violations — equivalent to the
-reference's finite-index extraction (``state_bound_constraint.jl:28-44``)
-without dynamic shapes.
+to exactly 0 with zero Jacobian, so they contribute nothing to AL
+gradients, duals, or violations under ANY cone sense (max(0, 0) = |0| = 0)
+— equivalent to the reference's finite-index extraction
+(``state_bound_constraint.jl:28-44``) without dynamic shapes.
 """
 from __future__ import annotations
 
@@ -284,7 +284,7 @@ def make_bound(z_max, z_min) -> BoundParams:
 def bound_evaluate(par: BoundParams, zs: jnp.ndarray) -> jnp.ndarray:
     c = jnp.concatenate([zs - par.z_max[None], par.z_min[None] - zs], axis=1)
     mask = jnp.asarray(par.mask)
-    return jnp.where(mask[None], c, -1.0)
+    return jnp.where(mask[None], c, 0.0)
 
 
 def bound_jacobian(par: BoundParams, zs: jnp.ndarray) -> jnp.ndarray:

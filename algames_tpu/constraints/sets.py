@@ -39,7 +39,7 @@ from .kernels import (BoundParams, CircleParams, CollisionParams,
                       CylinderParams, Wall2DParams, Wall3DParams, make_bound)
 
 
-@pytree_dataclass(meta_fields=("owner", "is_state"))
+@pytree_dataclass(meta_fields=("owner", "is_state", "sense"))
 class ConBlock:
     """One constraint instance: family params + AL state.
 
@@ -47,6 +47,11 @@ class ConBlock:
     (state constraints); -1 for shared control constraints (which couple to
     every player's control rows through his own ``pu`` slice, reference
     ``src/constraints/constraint_derivatives.jl:60-69``).
+
+    ``sense``: constraint cone — "ineq" (c <= 0; all reference builders),
+    "eq" (c == 0), or "soc" (second-order cone) — matching the reference's
+    Equality/Inequality/SecondOrderCone dual updates
+    (``constraints_methods.jl:427-445``).
     """
     params: object                    # family params pytree
     lam: jnp.ndarray                  # [K, C] Lagrange multiplier estimates
@@ -54,6 +59,7 @@ class ConBlock:
     active: jnp.ndarray               # [K, C] active-set flags (bool)
     owner: int
     is_state: bool
+    sense: str = "ineq"
 
 
 @pytree_dataclass(meta_fields=())
@@ -119,7 +125,7 @@ def _replace(obj, **kw):
 
 
 def _new_block(spec: ProblemSpec, params, owner: int, is_state: bool,
-               dtype) -> ConBlock:
+               dtype, sense: str = "ineq") -> ConBlock:
     K = spec.N - 1 if is_state else spec.T   # state: knots 2..N; control: 1..N-1
     C = kernels.num_rows(params)
     return ConBlock(
@@ -127,7 +133,7 @@ def _new_block(spec: ProblemSpec, params, owner: int, is_state: bool,
         lam=jnp.zeros((K, C), dtype),
         mu=jnp.ones((K, C), dtype),
         active=jnp.zeros((K, C), bool),
-        owner=owner, is_state=is_state,
+        owner=owner, is_state=is_state, sense=sense,
     )
 
 
@@ -331,7 +337,10 @@ def al_expansion(block: ConBlock, traj):
     """
     c = block_values(block, traj)                    # [K, C]
     J = block_jacobian(block, traj)                  # [K, C, dim]
-    irho = jnp.where((c >= 0.0) | (block.lam > 0.0), block.mu, 0.0)
+    if block.sense == "eq":
+        irho = block.mu                              # always penalized
+    else:
+        irho = jnp.where((c >= 0.0) | (block.lam > 0.0), block.mu, 0.0)
     grad = jnp.einsum('kcd,kc->kd', J, block.lam + irho * c)
     hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
     return grad, hess
@@ -346,12 +355,35 @@ def dual_update(gc: GameConstraints, traj) -> GameConstraints:
     """
     def upd(block: ConBlock, alpha):
         c = block_values(block, traj)
-        lam = jnp.clip(block.lam + alpha * block.mu * c, 0.0, gc.lam_max)
+        if block.sense == "eq":
+            # Equality: lam <- clamp(lam + a*mu*c, -lam_max, lam_max)
+            lam = jnp.clip(block.lam + alpha * block.mu * c,
+                           -gc.lam_max, gc.lam_max)
+        elif block.sense == "soc":
+            # SOC: lam <- proj_soc(lam - a*mu*c) (constraints_methods.jl:443-445);
+            # the last row is the cone axis.
+            lam = _soc_projection(block.lam - alpha * block.mu * c)
+        else:
+            lam = jnp.clip(block.lam + alpha * block.mu * c, 0.0, gc.lam_max)
         return _replace(block, lam=lam)
 
     state = tuple(upd(b, gc.alphax_dual[b.owner]) for b in gc.state_blocks)
     ctrl = tuple(upd(b, gc.alpha_dual) for b in gc.control_blocks)
     return _replace(gc, state_blocks=state, control_blocks=ctrl)
+
+
+def _soc_projection(v: jnp.ndarray) -> jnp.ndarray:
+    """Projection onto the second-order cone {(x, t): |x| <= t}, rows [K, C]
+    with the cone axis in the last component (TO ``projection(SOC, .)``)."""
+    x, t = v[:, :-1], v[:, -1]
+    nx = jnp.linalg.norm(x, axis=1)
+    scale = jnp.clip((nx + t) / jnp.maximum(2.0 * nx, 1e-30), 0.0, 1.0)
+    inside = nx <= t
+    below = nx <= -t
+    x_p = jnp.where(inside[:, None], x,
+                    jnp.where(below[:, None], 0.0, scale[:, None] * x))
+    t_p = jnp.where(inside, t, jnp.where(below, 0.0, scale * nx))
+    return jnp.concatenate([x_p, t_p[:, None]], axis=1)
 
 
 def penalty_update(gc: GameConstraints) -> GameConstraints:
@@ -370,7 +402,10 @@ def update_active_set(gc: GameConstraints, traj) -> GameConstraints:
     (Altro ``update_active_set!`` semantics, ``constraints_methods.jl:396-415``)."""
     def upd(block: ConBlock):
         c = block_values(block, traj)
-        act = (c >= -gc.active_tol) | (block.lam > 0.0)
+        if block.sense == "eq":
+            act = jnp.ones_like(c, dtype=bool)       # equalities always active
+        else:
+            act = (c >= -gc.active_tol) | (block.lam > 0.0)
         return _replace(block, active=act)
 
     return _replace(gc,
@@ -401,7 +436,8 @@ def state_violation(gc: GameConstraints, traj) -> jnp.ndarray:
     vio = jnp.zeros((N,), traj.x.dtype)
     for b in gc.state_blocks:
         c = block_values(b, traj)                     # [N-1, C]
-        vio = vio.at[1:].max(jnp.maximum(jnp.max(c, axis=1), 0.0))
+        cv = jnp.abs(c) if b.sense == "eq" else jnp.maximum(c, 0.0)
+        vio = vio.at[1:].max(jnp.max(cv, axis=1))
     return vio
 
 
@@ -412,5 +448,6 @@ def control_violation(gc: GameConstraints, traj) -> jnp.ndarray:
     vio = jnp.zeros((T,), traj.u.dtype)
     for b in gc.control_blocks:
         c = block_values(b, traj)
-        vio = jnp.maximum(vio, jnp.maximum(jnp.max(c, axis=1), 0.0))
+        cv = jnp.abs(c) if b.sense == "eq" else jnp.maximum(c, 0.0)
+        vio = jnp.maximum(vio, jnp.max(cv, axis=1))
     return vio

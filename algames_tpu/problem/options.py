@@ -57,6 +57,15 @@ class Options:
     outer_iter: int = 7
     inner_iter: int = 20
 
+    # Adaptive penalty safeguard (NOT in the reference, opt-in): ramp the
+    # penalties only when the constraint violation failed to shrink by
+    # ``adaptive_ratio``; otherwise take the dual-ascent step alone
+    # (classic LANCELOT-style AL update).  Stabilizes strongly-infeasible
+    # starts (e.g. symmetric crossing scenarios) that diverge under the
+    # reference's unconditional x10 ramp.
+    adaptive_penalty: bool = False
+    adaptive_ratio: float = 0.25
+
     # Objective scaling (unused by the reference solver path, kept for parity).
     gamma: float = 1.0
 

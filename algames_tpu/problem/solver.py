@@ -198,7 +198,7 @@ def newton_solve(prob: GameProblem, key=None, method: str = "schur",
         return (k < opts.outer_iter) & ~done
 
     def body(c):
-        k, done, traj, gc, rho, stats, _, delta = c
+        k, done, traj, gc, rho, stats, _, delta, prev_cvio = c
         active = ~done
         traj, stats, last_vio, delta = _inner_loop(
             model, spec, obj=prob.obj, opts=opts, method=method, gc=gc,
@@ -211,16 +211,30 @@ def newton_solve(prob: GameProblem, key=None, method: str = "schur",
         # Dual ascent + penalty schedule — skipped once converged and on the
         # final outer iteration (solver_methods.jl:49-61).
         do_update = active & ~converged & (k < opts.outer_iter - 1)
-        gc_new = gcm.penalty_update(gcm.dual_update(gc, traj))
-        gc = _where_tree(do_update, gc_new, gc)
-        rho = jnp.where(do_update,
-                        jnp.minimum(rho * opts.rho_increase, opts.rho_max),
-                        rho)
-        return (k + 1, done, traj, gc, rho, stats, last_vio, delta)
+        cvio = jnp.maximum(last_vio[1], last_vio[2])
+        if opts.adaptive_penalty:
+            # LANCELOT-style safeguard: duals when feasibility improved
+            # enough, penalties otherwise (never both).
+            improved = cvio <= opts.adaptive_ratio * prev_cvio
+            gc_dual = gcm.dual_update(gc, traj)
+            gc_pen = gcm.penalty_update(gc)
+            gc = _where_tree(do_update & improved, gc_dual, gc)
+            gc = _where_tree(do_update & ~improved, gc_pen, gc)
+            rho = jnp.where(do_update & ~improved,
+                            jnp.minimum(rho * opts.rho_increase, opts.rho_max),
+                            rho)
+        else:
+            gc_new = gcm.penalty_update(gcm.dual_update(gc, traj))
+            gc = _where_tree(do_update, gc_new, gc)
+            rho = jnp.where(do_update,
+                            jnp.minimum(rho * opts.rho_increase, opts.rho_max),
+                            rho)
+        prev_cvio = jnp.where(do_update, cvio, prev_cvio)
+        return (k + 1, done, traj, gc, rho, stats, last_vio, delta, prev_cvio)
 
     init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), traj0, gc0, rho0,
-            stats0, jnp.full((4,), inf), jnp.zeros((), dtype))
-    k, done, traj, gc, rho, stats, last_vio, delta = jax.lax.while_loop(
+            stats0, jnp.full((4,), inf), jnp.zeros((), dtype), inf)
+    k, done, traj, gc, rho, stats, last_vio, delta, _ = jax.lax.while_loop(
         cond, body, init)
 
     # Final record at the solution (solver_methods.jl:64).

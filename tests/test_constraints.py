@@ -94,7 +94,7 @@ def test_bounds_with_infinite_entries():
                              z_min=np.array([-1.0, -np.inf]))
     zs = jnp.array([[2.0, 100.0]])
     c = kernels.bound_evaluate(par, zs)
-    np.testing.assert_allclose(c[0], [1.0, -1.0, -3.0, -1.0])
+    np.testing.assert_allclose(c[0], [1.0, 0.0, -3.0, 0.0])
     J = kernels.bound_jacobian(par, zs)
     np.testing.assert_allclose(J[0, 0], [1.0, 0.0])
     np.testing.assert_allclose(J[0, 1], [0.0, 0.0])
@@ -219,3 +219,61 @@ def test_violations():
     vio = ag.control_violation(gc, traj)
     np.testing.assert_allclose(vio, 0.5)
     assert ag.state_violation(gc, traj).shape == (spec.N,)
+
+
+def test_equality_sense():
+    """Equality cone: Irho = mu always; dual update clamps to [-lmax, lmax];
+    violation is |c| (reference dual_update(::Equality),
+    constraints_methods.jl:427-430)."""
+    spec = _spec(p=2)
+    gc = ag.game_constraints(spec)
+    gc = ag.add_control_bound(spec, gc, jnp.ones(spec.m), -jnp.ones(spec.m))
+    blk = sets._replace(gc.control_blocks[0], sense="eq")
+    gc = sets._replace(gc, control_blocks=(blk,))
+    traj = ag.PrimalDual(x=jnp.zeros((spec.N, spec.n)),
+                         u=0.5 * jnp.ones((spec.T, spec.m)),
+                         lam=jnp.zeros((spec.p, spec.T, spec.n)))
+    # c = [u - 1; -1 - u] = [-0.5; -1.5]: feasible as inequality, violated as eq
+    vio = ag.control_violation(gc, traj)
+    np.testing.assert_allclose(vio, 1.5)
+    # dual update can go negative for equalities
+    gc2 = ag.dual_update(gc, traj)
+    lam = np.asarray(gc2.control_blocks[0].lam)
+    assert lam.min() < 0.0
+    # expansion penalizes regardless of sign
+    grad, hess = sets.al_expansion(gc2.control_blocks[0], traj)
+    assert float(jnp.max(jnp.abs(hess))) > 0.0
+
+
+def test_soc_projection():
+    from algames_tpu.constraints.sets import _soc_projection
+    v = jnp.asarray([
+        [3.0, 4.0, 10.0],    # inside cone (|x|=5 <= 10): unchanged
+        [3.0, 4.0, -10.0],   # in polar cone: project to 0
+        [3.0, 4.0, 0.0],     # boundary case: scale = 1/2
+    ])
+    out = np.asarray(_soc_projection(v))
+    np.testing.assert_allclose(out[0], [3.0, 4.0, 10.0])
+    np.testing.assert_allclose(out[1], [0.0, 0.0, 0.0])
+    np.testing.assert_allclose(out[2], [1.5, 2.0, 2.5])
+
+
+def test_adaptive_penalty_converges_crossing():
+    """The opt-in LANCELOT-style schedule solves a crossing scenario that
+    diverges under the reference's unconditional x10 ramp."""
+    p = 3
+    model = ag.unicycle_game(p=p)
+    N, dt = 20, 0.1
+    spec = ag.spec_from_model(model, N, dt)
+    obj = ag.game_objective(
+        spec, Q=[10 * jnp.ones(4)] * p, R=[0.1 * jnp.ones(2)] * p,
+        xf=[jnp.asarray([2.0, -0.4 * (i - 1), 0.0, 0.0]) for i in range(p)],
+        uf=[jnp.zeros(2)] * p, dtype=jnp.float64)
+    gc = ag.add_collision_avoidance(spec, ag.game_constraints(spec), 0.1)
+    x0 = jnp.asarray([0., 0., 0., -0.4, 0., 0.4, 0., 0., 0., .5, .5, .5])
+    opts = ag.Options(reg_0=1e-7, adaptive_penalty=True, outer_iter=12)
+    prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
+    out = ag.newton_solve_jit(prob)
+    i = int(out.stats.iter)
+    assert float(out.stats.sta_vio[i - 1]) < 1e-3
+    assert float(out.stats.opt_vio[i - 1]) < 1e-3
