@@ -335,6 +335,14 @@ def al_expansion(block: ConBlock, traj):
     ``hess = J' diag(Irho) J``.
     Returns (grad [K, dim], hess [K, dim, dim]).
     """
+    grad, hess, _ = al_expansion_full(block, traj)
+    return grad, hess
+
+
+def al_expansion_full(block: ConBlock, traj):
+    """As :func:`al_expansion`, but also returns the constraint values so
+    callers (the fused assembly) can derive violations without re-evaluating
+    the block."""
     c = block_values(block, traj)                    # [K, C]
     J = block_jacobian(block, traj)                  # [K, C, dim]
     if block.sense == "eq":
@@ -343,7 +351,14 @@ def al_expansion(block: ConBlock, traj):
         irho = jnp.where((c >= 0.0) | (block.lam > 0.0), block.mu, 0.0)
     grad = jnp.einsum('kcd,kc->kd', J, block.lam + irho * c)
     hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
-    return grad, hess
+    return grad, hess, c
+
+
+def block_violation_max(block: ConBlock, c: jnp.ndarray) -> jnp.ndarray:
+    """Scalar max violation of a block given its values (Inequality:
+    max(0, c); Equality: |c|)."""
+    cv = jnp.abs(c) if block.sense == "eq" else jnp.maximum(c, 0.0)
+    return jnp.max(cv)
 
 
 def dual_update(gc: GameConstraints, traj) -> GameConstraints:

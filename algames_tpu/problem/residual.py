@@ -242,7 +242,8 @@ def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     Regularization ``reg`` is applied to the Jacobian diagonals only (the
     residual pull term vanishes at the reference point, which is how the
     solver calls it).
-    Returns (Residual, JacBlocks).
+    Returns (Residual, JacBlocks, sta_vio_max, con_vio_max) — the
+    constraint-violation maxima fall out of the same block evaluations.
     """
     T, p, n, m = spec.T, spec.p, spec.n, spec.m
     dtype = traj.x.dtype
@@ -269,18 +270,22 @@ def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
         Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
             Ru[i][:, pu[:, None], pu[None, :]])
 
-    # --- constraints: one expansion, both targets -------------------------
+    # --- constraints: one expansion for residual, Jacobian AND violations -
+    sta_v = jnp.zeros((), dtype)
+    con_v = jnp.zeros((), dtype)
     for blk in gc.state_blocks:
-        grad, hess = gcm.al_expansion(blk, traj)
+        grad, hess, c = gcm.al_expansion_full(blk, traj)
         rx = rx.at[:, blk.owner].add(grad)
         Qblk = Qblk.at[:, blk.owner].add(hess)
+        sta_v = jnp.maximum(sta_v, gcm.block_violation_max(blk, c))
     for blk in gc.control_blocks:
-        grad, hess = gcm.al_expansion(blk, traj)
+        grad, hess, c = gcm.al_expansion_full(blk, traj)
         ru = ru + grad
         for i in range(p):
             pu = np.asarray(spec.pu[i])
             Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
                 hess[:, pu[:, None], pu[None, :]])
+        con_v = jnp.maximum(con_v, gcm.block_violation_max(blk, c))
 
     diag_n, diag_m = np.arange(n), np.arange(m)
     Qblk = Qblk.at[:, :, diag_n, diag_n].add(reg)
@@ -288,7 +293,7 @@ def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
 
     rd = dynamics_residual(model, spec, traj)
     return (Residual(rx=rx, ru=ru, rd=rd),
-            JacBlocks(Qblk=Qblk, Ublk=Ublk, A=A, B=B))
+            JacBlocks(Qblk=Qblk, Ublk=Ublk, A=A, B=B), sta_v, con_v)
 
 
 # --------------------------------------------------------------------------

@@ -116,12 +116,14 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         l, stop, traj, stats, last_vio, delta_prev = c
         reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4   # reference l^4 schedule
 
-        # Fused residual + Jacobian assembly (one constraint expansion and
-        # one dynamics-Jacobian pass for both, see residual.assemble).
+        # Fused residual + Jacobian + violation assembly (one constraint
+        # expansion and one dynamics-Jacobian pass for all three).
         reg_eff = reg if opts.regularize else 0.0
-        res, jb = R.assemble(model, spec, obj, gc, traj, reg=reg_eff)
+        res, jb, sta_v, con_v = R.assemble(model, spec, obj, gc, traj,
+                                           reg=reg_eff)
         res_norm = R.residual_norm(spec, res)
-        dyn_v, con_v, sta_v, opt_v = _violations(model, spec, gc, traj, res)
+        dyn_v = R.dynamics_violation(res)
+        opt_v = R.optimality_violation(res)
         stats = record(stats, True, outer_k + 1, res_norm, delta_prev,
                        jnp.asarray(1.0, dtype), dyn_v, con_v, sta_v, opt_v)
         last_vio = jnp.stack([dyn_v, con_v, sta_v, opt_v])

@@ -6,6 +6,10 @@ The reference pushes per-iteration records onto host vectors; here the
 record is a fixed-capacity stack of device arrays (capacity = the static
 iteration budget), scatter-written at the current iteration index so the
 whole solve stays jittable and vmappable.  ``iter`` counts valid rows.
+
+All float columns live in ONE ``[M, 7]`` array so a record costs one fused
+scatter inside the solver's while loop (dispatch overhead matters there);
+the per-field accessors (`res`, `dyn_vio`, ...) expose column views.
 """
 from __future__ import annotations
 
@@ -14,27 +18,56 @@ import numpy as np
 
 from .utils import pytree_dataclass
 
+_COLS = ("res", "delta", "alpha", "dyn_vio", "con_vio", "sta_vio", "opt_vio")
+
 
 @pytree_dataclass
 class Statistics:
     iter: jnp.ndarray       # scalar int32: number of valid records
     outer: jnp.ndarray      # [M] outer-iteration index of each record
-    res: jnp.ndarray        # [M] mean-|.|_1 residual norm
-    delta: jnp.ndarray      # [M] step-size metric (reference Δ_traj)
-    alpha: jnp.ndarray      # [M] accepted line-search step
-    dyn_vio: jnp.ndarray    # [M] max dynamics violation
-    con_vio: jnp.ndarray    # [M] max control-constraint violation
-    sta_vio: jnp.ndarray    # [M] max state-constraint violation
-    opt_vio: jnp.ndarray    # [M] max stationarity violation
+    data: jnp.ndarray       # [M, 7] float columns, see _COLS
+
+    @property
+    def res(self):
+        """[M] mean-|.|_1 residual norm."""
+        return self.data[..., :, 0]
+
+    @property
+    def delta(self):
+        """[M] step-size metric (reference Δ_traj)."""
+        return self.data[..., :, 1]
+
+    @property
+    def alpha(self):
+        """[M] accepted line-search step."""
+        return self.data[..., :, 2]
+
+    @property
+    def dyn_vio(self):
+        """[M] max dynamics violation."""
+        return self.data[..., :, 3]
+
+    @property
+    def con_vio(self):
+        """[M] max control-constraint violation."""
+        return self.data[..., :, 4]
+
+    @property
+    def sta_vio(self):
+        """[M] max state-constraint violation."""
+        return self.data[..., :, 5]
+
+    @property
+    def opt_vio(self):
+        """[M] max stationarity violation."""
+        return self.data[..., :, 6]
 
 
 def init_stats(capacity: int, dtype=jnp.float64) -> Statistics:
-    z = jnp.zeros((capacity,), dtype)
     return Statistics(
         iter=jnp.zeros((), jnp.int32),
         outer=jnp.zeros((capacity,), jnp.int32),
-        res=z, delta=z, alpha=z,
-        dyn_vio=z, con_vio=z, sta_vio=z, opt_vio=z,
+        data=jnp.zeros((capacity, len(_COLS)), dtype),
     )
 
 
@@ -58,20 +91,15 @@ def print_stats(stats: Statistics, header: bool = True) -> None:
 
 def record(stats: Statistics, active, outer, res, delta, alpha,
            dyn_vio, con_vio, sta_vio, opt_vio) -> Statistics:
-    """Append one record when ``active`` (mask for batched/while-loop use)."""
+    """Append one record when ``active`` (mask for batched/while-loop use).
+
+    One fused row scatter — the solver calls this inside its hot loop.
+    """
     i = stats.iter
-
-    def put(arr, val):
-        return jnp.where(active, arr.at[i].set(val), arr)
-
+    row = jnp.stack([jnp.asarray(v, stats.data.dtype) for v in
+                     (res, delta, alpha, dyn_vio, con_vio, sta_vio, opt_vio)])
     return Statistics(
         iter=jnp.where(active, i + 1, i),
-        outer=put(stats.outer, outer),
-        res=put(stats.res, res),
-        delta=put(stats.delta, delta),
-        alpha=put(stats.alpha, alpha),
-        dyn_vio=put(stats.dyn_vio, dyn_vio),
-        con_vio=put(stats.con_vio, con_vio),
-        sta_vio=put(stats.sta_vio, sta_vio),
-        opt_vio=put(stats.opt_vio, opt_vio),
+        outer=jnp.where(active, stats.outer.at[i].set(outer), stats.outer),
+        data=jnp.where(active, stats.data.at[i].set(row), stats.data),
     )

@@ -35,12 +35,11 @@ def main():
     x0s = jnp.tile(prob.x0[None], (batch, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
 
-    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas").traj.x)
+    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas"))
 
-    # Warm-up / compile; also report solution quality to stderr.
-    out = fn(x0s)
-    jax.block_until_ready(out)
-    q = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas"))(x0s)
+    # Warm-up / compile (one program); report solution quality to stderr.
+    q = fn(x0s)
+    jax.block_until_ready(q.traj.x)
     frac = float(ag.parallel.convergence_fraction(q, prob.opts))
     div = float(jnp.mean(ag.parallel.divergence_mask(q).astype(jnp.float32)))
     it = jnp.maximum(q.stats.iter - 1, 0)
@@ -53,12 +52,12 @@ def main():
     for _ in range(reps):
         t0 = time.perf_counter()
         out = fn(x0s)
-        jax.block_until_ready(out)
+        jax.block_until_ready(out.traj.x)
         times.append(time.perf_counter() - t0)
     t = min(times)
     solves_per_s = batch / t
 
-    assert np.all(np.isfinite(np.asarray(out))), "non-finite trajectories"
+    assert np.all(np.isfinite(np.asarray(out.traj.x))), "non-finite trajectories"
 
     print(json.dumps({
         "metric": "3p_unicycle_N20_solves_per_s_per_chip",

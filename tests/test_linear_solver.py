@@ -131,7 +131,7 @@ def test_pallas_thomas_interpret():
         x=0.3 * jax.random.normal(ks[0], (B, spec.N, spec.n), jnp.float64),
         u=0.3 * jax.random.normal(ks[1], (B, spec.T, spec.m), jnp.float64),
         lam=0.3 * jax.random.normal(ks[2], (B, p, spec.T, spec.n), jnp.float64))
-    res, jbs = jax.vmap(lambda tr: R.assemble(model, spec, obj, gc, tr, 1e-3))(trajs)
+    res, jbs, _, _ = jax.vmap(lambda tr: R.assemble(model, spec, obj, gc, tr, 1e-3))(trajs)
     b = jax.vmap(lambda r: R.residual_knot_blocks(spec, r))(res)
     for penalty in (1.0, 1e7):
         jbs_s = jbs
