@@ -36,6 +36,13 @@ class Options:
     beta: float = 0.01
     ls_iter: int = 25
     delta_min: float = 1e-9
+    # Evaluate the first ls_parallel backtracking trials in ONE vectorized
+    # residual pass (first-accept semantics identical to the sequential
+    # reference loop, ``solver_methods.jl:105-125``); deeper trials fall back
+    # to the sequential loop.  Rationale: under vmap every lane pays the MAX
+    # line-search depth across the batch per Newton iteration — sequential
+    # trials serialize, parallel trials amortize.  0 = pure sequential.
+    ls_parallel: int = 2
 
     # Augmented Lagrangian penalty schedule.
     rho_0: float = 1.0

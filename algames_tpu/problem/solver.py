@@ -58,7 +58,15 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
     """Backtracking line search (reference ``line_search``,
     ``solver_methods.jl:105-125``).  Accept alpha iff the trial mean residual
     (with Tikhonov pull toward the current iterate) improves by (1-alpha*beta).
-    Returns (alpha, j, found); failed iff j == ls_iter."""
+    Returns (alpha, j, found); failed iff j == ls_iter.
+
+    With ``opts.ls_parallel = K > 0`` the first K backtracking trials are
+    evaluated in ONE vectorized residual pass and the first passing trial is
+    accepted — bitwise the same accept decision as the sequential loop, but
+    a vmapped batch no longer serializes on its deepest lane.  Trials beyond
+    K (rare: the depth histogram of the flagship bench puts p99 at 2) run in
+    the reference's sequential loop.
+    """
     dtype = res_norm.dtype
     reg_eff = reg if opts.regularize else 0.0
 
@@ -67,6 +75,25 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
         res_t = R.residual(model, spec, obj, gc, trial,
                            reg=reg_eff, traj_ref=traj)
         return R.residual_norm(spec, res_t)
+
+    K = min(int(opts.ls_parallel), opts.ls_iter - 1) if opts.ls_parallel else 0
+    if K > 0:
+        alphas = (opts.alpha_0
+                  * opts.alpha_decrease ** jnp.arange(K, dtype=dtype))
+        tns = jax.vmap(trial_norm)(alphas)
+        ok = tns <= (1.0 - alphas * opts.beta) * res_norm
+        any_ok = jnp.any(ok)
+        first = jnp.argmax(ok)                    # index of first passing trial
+        alpha_par = alphas[first]
+        j_par = (first + 1).astype(jnp.int32)
+        # Sequential continuation for lanes whose first K trials all failed:
+        # identical carry to the reference loop after K rejected trials.
+        init = (jnp.asarray(K + 1, jnp.int32),
+                jnp.asarray(opts.alpha_0 * opts.alpha_decrease ** K, dtype),
+                any_ok)
+    else:
+        init = (jnp.asarray(1, jnp.int32), jnp.asarray(opts.alpha_0, dtype),
+                jnp.asarray(False))
 
     def cond(c):
         j, alpha, found = c
@@ -80,10 +107,11 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
                 jnp.where(ok, alpha, alpha * opts.alpha_decrease),
                 ok)
 
-    j, alpha, found = jax.lax.while_loop(
-        cond, body,
-        (jnp.asarray(1, jnp.int32), jnp.asarray(opts.alpha_0, dtype),
-         jnp.asarray(False)))
+    j, alpha, found = jax.lax.while_loop(cond, body, init)
+    if K > 0:
+        alpha = jnp.where(any_ok, alpha_par, alpha)
+        j = jnp.where(any_ok, j_par, j)
+        found = found | any_ok
     return alpha, j, found
 
 
@@ -113,7 +141,7 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         return (l < opts.inner_iter) & ~stop
 
     def body(c):
-        l, stop, traj, stats, last_vio, delta_prev = c
+        l, stop, traj, stats, last_vio, delta_prev, alpha_prev = c
         reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4   # reference l^4 schedule
 
         # Fused residual + Jacobian + violation assembly (one constraint
@@ -125,7 +153,7 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         dyn_v = R.dynamics_violation(res)
         opt_v = R.optimality_violation(res)
         stats = record(stats, True, outer_k + 1, res_norm, delta_prev,
-                       jnp.asarray(1.0, dtype), dyn_v, con_v, sta_v, opt_v)
+                       alpha_prev, dyn_v, con_v, sta_v, opt_v)
         last_vio = jnp.stack([dyn_v, con_v, sta_v, opt_v])
 
         stop_opt = opt_v < opts.eps_opt
@@ -160,12 +188,14 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         take_step = ~stop_opt
         traj = _where_tree(take_step, traj_new, traj)
         delta_rec = jnp.where(take_step, delta, jnp.zeros((), dtype))
+        alpha_rec = jnp.where(take_step, alpha, jnp.zeros((), dtype))
         stop = stop_opt | failed_ls | (delta < opts.delta_min)
-        return (l + 1, stop, traj, stats, last_vio, delta_rec)
+        return (l + 1, stop, traj, stats, last_vio, delta_rec, alpha_rec)
 
     init = (jnp.asarray(0, jnp.int32), ~active, traj, stats,
-            jnp.full((4,), inf), jnp.zeros((), dtype))
-    _, _, traj, stats, last_vio, delta_last = jax.lax.while_loop(
+            jnp.full((4,), inf), jnp.zeros((), dtype),
+            jnp.asarray(1.0, dtype))
+    _, _, traj, stats, last_vio, delta_last, _ = jax.lax.while_loop(
         cond, body, init)
     return traj, stats, last_vio, delta_last
 

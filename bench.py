@@ -29,16 +29,22 @@ def main():
     # per-lane once the 1e-3 violation gates pass (same gates as reference).
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
 
-    batch = int(os.environ.get("BENCH_BATCH", "512"))
+    # Batch 128 = one Pallas lane tile; larger batches pay a superlinear
+    # straggler penalty (the vmapped while_loop runs max-over-lanes trips).
+    # Steady-state throughput = C independent chunks enqueued back-to-back
+    # (async dispatch), blocked once — each chunk pays only its own
+    # max-iteration count.
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     key = jax.random.PRNGKey(0)
-    x0s = jnp.tile(prob.x0[None], (batch, 1))
+    x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
 
     fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas"))
 
     # Warm-up / compile (one program); report solution quality to stderr.
-    q = fn(x0s)
+    q = fn(x0s[0])
     jax.block_until_ready(q.traj.x)
     frac = float(ag.parallel.convergence_fraction(q, prob.opts))
     div = float(jnp.mean(ag.parallel.divergence_mask(q).astype(jnp.float32)))
@@ -51,11 +57,12 @@ def main():
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(x0s)
-        jax.block_until_ready(out.traj.x)
+        outs = [fn(x0s[c]) for c in range(chunks)]
+        jax.block_until_ready(outs)
         times.append(time.perf_counter() - t0)
     t = min(times)
-    solves_per_s = batch / t
+    out = outs[-1]
+    solves_per_s = batch * chunks / t
 
     assert np.all(np.isfinite(np.asarray(out.traj.x))), "non-finite trajectories"
 
