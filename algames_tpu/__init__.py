@@ -27,13 +27,14 @@ from .constraints import (ConBlock, CylinderWall, GameConstraints, Wall,
                           add_spherical_collision_avoidance, add_state_bound,
                           add_velocity_bound, add_wall_constraint,
                           control_violation, dual_update, game_constraints,
-                          penalty_update, reset_constraints,
+                          penalty_update, reset_constraint_duals,
+                          reset_constraints, reset_penalties,
                           set_constraint_params, state_violation,
                           update_active_set)
 from .problem import (GameProblem, IBROptions, Options, SolveResult,
                       game_problem, newton_solve, newton_solve_jit)
 from .problem.ibr import (ibr_newton_solve, ibr_newton_solve_jit,
-                          ibr_newton_solve_player)
+                          ibr_newton_solve_player, player_violations)
 from .stats import Statistics
 from .utils import scn
 from . import parallel  # noqa: E402  (registers ag.parallel.*)

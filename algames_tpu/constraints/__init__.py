@@ -7,7 +7,8 @@ from .sets import (ConBlock, CylinderWall, GameConstraints, Wall,
                                add_wall_constraint, al_expansion,
                                block_jacobian, block_values, control_violation,
                                dual_update, game_constraints, penalty_update,
-                               reset_constraints, set_constraint_params,
+                               reset_constraint_duals, reset_constraints,
+                               reset_penalties, set_constraint_params,
                                state_violation, update_active_set)
 
 __all__ = [
@@ -17,6 +18,6 @@ __all__ = [
     "add_state_bound", "add_control_bound", "add_circle_constraint",
     "add_wall_constraint", "add_velocity_bound",
     "al_expansion", "block_values", "block_jacobian",
-    "dual_update", "penalty_update", "update_active_set", "reset_constraints",
+    "dual_update", "penalty_update", "update_active_set", "reset_constraints", "reset_penalties", "reset_constraint_duals",
     "set_constraint_params", "state_violation", "control_violation",
 ]

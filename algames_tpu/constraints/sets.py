@@ -440,6 +440,29 @@ def reset_constraints(gc: GameConstraints) -> GameConstraints:
                     control_blocks=tuple(upd(b) for b in gc.control_blocks))
 
 
+def reset_penalties(gc: GameConstraints) -> GameConstraints:
+    """Reset penalties to mu0, KEEP duals (reference ``reset_penalties!``
+    via Altro, ``constraints_methods.jl:305-315``) — the MPC dual-warm-start
+    combination: carried multipliers + a fresh penalty schedule."""
+    def upd(block: ConBlock):
+        return _replace(block, mu=jnp.full_like(block.mu, gc.mu0))
+
+    return _replace(gc,
+                    state_blocks=tuple(upd(b) for b in gc.state_blocks),
+                    control_blocks=tuple(upd(b) for b in gc.control_blocks))
+
+
+def reset_constraint_duals(gc: GameConstraints) -> GameConstraints:
+    """Zero duals, KEEP penalties (reference ``reset_duals!`` via Altro,
+    ``constraints_methods.jl:296-303``)."""
+    def upd(block: ConBlock):
+        return _replace(block, lam=jnp.zeros_like(block.lam))
+
+    return _replace(gc,
+                    state_blocks=tuple(upd(b) for b in gc.state_blocks),
+                    control_blocks=tuple(upd(b) for b in gc.control_blocks))
+
+
 # --------------------------------------------------------------------------
 # Violations
 # --------------------------------------------------------------------------

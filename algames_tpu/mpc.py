@@ -19,6 +19,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from .constraints import sets as gcm
 from .core.traj import PrimalDual
 from .models.integration import rk3_step
 from .problem.problem import GameProblem
@@ -57,18 +58,23 @@ def mpc_solve(prob: GameProblem, horizon: int | None = None,
         return x
 
     def step(carry, _):
-        x, warm = carry
+        x, warm, gc = carry
         p = GameProblem(spec=spec, model=model, opts=opts, x0=x,
-                        obj=prob.obj, gc=prob.gc)
+                        obj=prob.obj, gc=gc)
         out = newton_solve(p, method=method, warm=warm)
         u0 = out.traj.u[0]
         x_next = plant_step(x, u0)
         it = jnp.maximum(out.stats.iter - 1, 0)
         dyn_v = out.stats.dyn_vio[it]
         opt_v = out.stats.opt_vio[it]
-        return (x_next, out.traj), (x_next, u0, dyn_v, opt_v, out.stats.iter)
+        # Dual warm start across replans (opts.dual_reset=False): carry the
+        # converged multipliers, restart the penalty schedule.  With
+        # dual_reset=True newton_solve resets everything and the carry is
+        # equivalent to passing prob.gc.
+        gc_next = prob.gc if opts.dual_reset else gcm.reset_penalties(out.gc)
+        return ((x_next, out.traj, gc_next),
+                (x_next, u0, dyn_v, opt_v, out.stats.iter))
 
-    warm0 = None
     # First solve cold (no warm start), remaining H-1 steps warm.
     p0 = GameProblem(spec=spec, model=model, opts=opts, x0=prob.x0,
                      obj=prob.obj, gc=prob.gc)
@@ -76,9 +82,10 @@ def mpc_solve(prob: GameProblem, horizon: int | None = None,
     u0 = out0.traj.u[0]
     x1 = plant_step(prob.x0, u0)
     it0 = jnp.maximum(out0.stats.iter - 1, 0)
+    gc1 = prob.gc if opts.dual_reset else gcm.reset_penalties(out0.gc)
 
-    (xf, traj_f), (xs, us, dyns, opts_v, iters) = jax.lax.scan(
-        step, (x1, out0.traj), None, length=H - 1)
+    (xf, traj_f, _), (xs, us, dyns, opts_v, iters) = jax.lax.scan(
+        step, (x1, out0.traj, gc1), None, length=H - 1)
 
     states = jnp.concatenate([prob.x0[None], x1[None], xs], axis=0)
     controls = jnp.concatenate([u0[None], us], axis=0)

@@ -44,12 +44,19 @@ def make_mesh(n_devices: int | None = None,
 
 
 def sharded_monte_carlo(prob: GameProblem, mesh: Mesh, x0s: jnp.ndarray,
-                        method: str = "schur"):
+                        method: str = "schur", chunk: int = 128):
     """Solve a sharded batch of scenarios and psum summary stats.
 
     ``x0s`` [B, n] with B divisible by mesh size; rows are sharded over
     ('dp', 'mc').  Returns (trajs [B, N, n] sharded, summary dict of
     replicated scalars).
+
+    ``chunk``: each device's shard is solved in sequential vmapped chunks of
+    this many lanes (``lax.map``) instead of one giant vmap — a vmapped
+    while_loop runs max-over-lanes iterations, so smaller chunks pay only
+    their own stragglers (measured ~2.3x throughput at 4096 lanes/chip vs
+    unchunked; 128 = one Pallas lane tile).  Shards not divisible by
+    ``chunk`` fall back to a single vmap.
     """
     opts = prob.opts
 
@@ -60,7 +67,14 @@ def sharded_monte_carlo(prob: GameProblem, mesh: Mesh, x0s: jnp.ndarray,
                             x0=x0, obj=prob.obj, gc=prob.gc)
             return newton_solve(p, method=method)
 
-        res = jax.vmap(one)(x0_shard)
+        B_local = x0_shard.shape[0]
+        if chunk and B_local > chunk and B_local % chunk == 0:
+            xc = x0_shard.reshape(-1, chunk, x0_shard.shape[-1])
+            res = jax.lax.map(jax.vmap(one), xc)
+            res = jax.tree_util.tree_map(
+                lambda a: a.reshape((B_local,) + a.shape[2:]), res)
+        else:
+            res = jax.vmap(one)(x0_shard)
         it = jnp.maximum(res.stats.iter - 1, 0)
         take = jax.vmap(lambda a, i: a[i])
         ok = ((take(res.stats.dyn_vio, it) < opts.eps_dyn)

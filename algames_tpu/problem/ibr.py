@@ -103,7 +103,7 @@ def unpack_player_step(spec: ProblemSpec, i: int, flat: jnp.ndarray,
     return PrimalDual(x=dx, u=du, lam=dlam)
 
 
-def _player_violations(spec, gc, traj, res, i):
+def player_violations(spec, gc, traj, res, i):
     """Per-player violation maxima (reference per-i violation variants,
     ``src/struct/violations.jl:27-37, 69-80, 123-138, 170-183``)."""
     pz = np.asarray(spec.pz[i])
@@ -173,7 +173,7 @@ def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
             reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4
             res = R.residual(model, spec, obj, gc, traj)
             res_norm = player_residual_norm(spec, res, i)
-            dyn_v, con_v, sta_v, opt_v = _player_violations(spec, gc, traj,
+            dyn_v, con_v, sta_v, opt_v = player_violations(spec, gc, traj,
                                                             res, i)
             stats = record(stats, True, 0, res_norm, max_delta,
                            jnp.asarray(1.0, dtype), dyn_v, con_v, sta_v,

@@ -40,7 +40,9 @@ def main():
     gc = ag.add_collision_avoidance(spec, gc, 0.1)
     gc = ag.add_control_bound(spec, gc, 3 * jnp.ones(2 * p, dtype),
                               -3 * jnp.ones(2 * p, dtype))
-    opts = ag.Options(outer_iter=2, inner_iter=6, shift=1)
+    # dual_reset=False: warm-start the AL multipliers across replans
+    # (penalties restart at mu0 each replan via reset_penalties).
+    opts = ag.Options(outer_iter=2, inner_iter=6, shift=1, dual_reset=False)
     x0 = jnp.asarray(np.concatenate([
         [0.0, -0.5, -1.0], 0.4 * np.arange(p), np.zeros(p),
         0.8 + 0.3 * np.arange(p)]), dtype)
@@ -50,21 +52,21 @@ def main():
     from algames_tpu.core.traj import PrimalDual
     from algames_tpu.models.integration import rk3_step
 
-    def replan(x, warm):
+    def replan(x, warm, gc):
         pb = ag.GameProblem(spec=prob.spec, model=prob.model, opts=prob.opts,
-                            x0=x, obj=prob.obj, gc=prob.gc)
+                            x0=x, obj=prob.obj, gc=gc)
         out = ag.newton_solve(pb, warm=warm, method="schur")
-        return out.traj
+        return out.traj, ag.reset_penalties(out.gc)
 
     replan_jit = jax.jit(replan)
     cold = ag.newton_solve_jit(prob, method="schur")
-    warm = cold.traj
+    warm, gc_warm = cold.traj, ag.reset_penalties(cold.gc)
     x = prob.x0
 
     lat = []
     for step in range(30):
         t0 = time.perf_counter()
-        traj = replan_jit(x, warm)
+        traj, gc_warm = replan_jit(x, warm, gc_warm)
         jax.block_until_ready(traj.x)
         lat.append(time.perf_counter() - t0)
         u0 = traj.u[0]

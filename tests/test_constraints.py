@@ -172,6 +172,27 @@ def test_update_active_set_and_reset():
     np.testing.assert_allclose(gc.state_blocks[0].mu, 1.0)
 
 
+def test_partial_resets():
+    """reset_penalties keeps duals / reset_constraint_duals keeps penalties
+    (reference reset_penalties!/reset_duals!, constraints_methods.jl:296-315)."""
+    spec = _spec(p=2)
+    gc = ag.game_constraints(spec)
+    gc = ag.add_collision_avoidance(spec, gc, 0.25)
+    traj = ag.zero_traj(spec, jnp.float64)
+    gc = ag.update_active_set(gc, traj)
+    gc = ag.dual_update(gc, traj)
+    gc = ag.penalty_update(gc)
+    lam0 = gc.state_blocks[0].lam
+    assert float(jnp.max(lam0)) > 0.0 and float(jnp.max(gc.state_blocks[0].mu)) > 1.0
+    gp = ag.reset_penalties(gc)
+    np.testing.assert_allclose(gp.state_blocks[0].mu, 1.0)
+    np.testing.assert_allclose(gp.state_blocks[0].lam, lam0)
+    gd = ag.reset_constraint_duals(gc)
+    np.testing.assert_allclose(gd.state_blocks[0].lam, 0.0)
+    np.testing.assert_allclose(gd.state_blocks[0].mu,
+                               gc.state_blocks[0].mu)
+
+
 def test_builder_wiring():
     """Which players get which constraints (reference
     test/constraints/constraints_methods.jl:1-50)."""
