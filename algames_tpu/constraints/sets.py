@@ -190,13 +190,21 @@ def add_spherical_collision_avoidance(spec: ProblemSpec, gc: GameConstraints,
     return gc
 
 
+def _promote_bound(z, dim):
+    """Scalar -> full-dim vector promotion (reference ``checkBounds``,
+    ``control_bound_constraint.jl:95-117``)."""
+    z = np.asarray(z, dtype=np.float64)
+    return np.full((dim,), float(z)) if z.ndim == 0 else z
+
+
 def add_state_bound(spec: ProblemSpec, gc: GameConstraints, i: int,
                     x_max, x_min) -> GameConstraints:
     """Box bound on the full state, owned by player i
     (reference ``constraints_methods.jl:88-100``)."""
     dtype = gc.alpha_dual.dtype
-    return _push_state(gc, _new_block(spec, make_bound(x_max, x_min), i, True,
-                                      dtype))
+    par = make_bound(_promote_bound(x_max, spec.n),
+                     _promote_bound(x_min, spec.n))
+    return _push_state(gc, _new_block(spec, par, i, True, dtype))
 
 
 def add_control_bound(spec: ProblemSpec, gc: GameConstraints,
@@ -204,8 +212,9 @@ def add_control_bound(spec: ProblemSpec, gc: GameConstraints,
     """Shared box bound on the full control vector
     (reference ``constraints_methods.jl:106-118``)."""
     dtype = gc.alpha_dual.dtype
-    return _push_control(gc, _new_block(spec, make_bound(u_max, u_min), -1,
-                                        False, dtype))
+    par = make_bound(_promote_bound(u_max, spec.m),
+                     _promote_bound(u_min, spec.m))
+    return _push_control(gc, _new_block(spec, par, -1, False, dtype))
 
 
 def add_circle_constraint(spec: ProblemSpec, gc: GameConstraints,

@@ -64,6 +64,13 @@ class Options:
     outer_iter: int = 7
     inner_iter: int = 20
 
+    # Flatten the AL outer loop and the Newton inner loop into ONE
+    # lax.while_loop state machine (identical per-lane iteration sequence).
+    # Under vmap the nested loops run ``sum_k max_lanes(inner_trips_k)``
+    # bodies, the flat machine ``max_lanes(sum_k inner_trips_k)`` — strictly
+    # fewer: straggler mitigation for large scenario batches.
+    flat_loop: bool = True
+
     # Adaptive penalty safeguard (NOT in the reference, opt-in): ramp the
     # penalties only when the constraint violation failed to shrink by
     # ``adaptive_ratio``; otherwise take the dual-ascent step alone

@@ -125,6 +125,66 @@ def _violations(model, spec, gc, traj, res):
     return dyn_v, con_v, sta_v, opt_v
 
 
+def _iteration(model, spec, obj, opts, method, gc, traj, stats, outer_k, l,
+               delta_prev, alpha_prev):
+    """One inner quasi-Newton iteration (``solver_methods.jl:67-103``):
+    fused assembly, structured KKT step, line search, masked update.
+
+    Returns ``(traj, stats, last_vio, delta_rec, alpha_rec, stop_inner)``
+    where ``stop_inner`` reproduces the reference's ``:break`` conditions.
+    """
+    dtype = traj.x.dtype
+    reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4   # reference l^4 schedule
+
+    # Fused residual + Jacobian + violation assembly (one constraint
+    # expansion and one dynamics-Jacobian pass for all three).
+    reg_eff = reg if opts.regularize else 0.0
+    res, jb, sta_v, con_v = R.assemble(model, spec, obj, gc, traj,
+                                       reg=reg_eff)
+    res_norm = R.residual_norm(spec, res)
+    dyn_v = R.dynamics_violation(res)
+    opt_v = R.optimality_violation(res)
+    stats = record(stats, True, outer_k + 1, res_norm, delta_prev,
+                   alpha_prev, dyn_v, con_v, sta_v, opt_v)
+    last_vio = jnp.stack([dyn_v, con_v, sta_v, opt_v])
+
+    stop_opt = opt_v < opts.eps_opt
+
+    # Structured Newton step (solver_methods.jl:84-88).
+    b = R.residual_knot_blocks(spec, res)
+    if method == "schur":
+        dflat = solve_tridiagonal_schur(spec, jb, -b)
+    elif method in ("pallas", "pallas_interpret"):
+        from ..ops.thomas_pallas import thomas_pallas_for_spec
+        dflat = thomas_pallas_for_spec(
+            spec, interpret=(method == "pallas_interpret"))(jb, -b)
+    elif method == "cr":
+        D, U, L = R.build_tridiagonal(spec, jb)
+        dflat = solve_cyclic_reduction(spec, D, U, L, -b)
+    elif method in ("tridiag", "dense"):
+        D, U, L = R.build_tridiagonal(spec, jb)
+        dflat = newton_step(spec, D, U, L, b, method=method)
+    else:
+        raise ValueError(
+            f"unknown linear-solver method {method!r}; expected one of "
+            "'schur', 'pallas', 'pallas_interpret', 'cr', 'tridiag', "
+            "'dense'")
+    dtraj = unpack_step(spec, dflat)
+
+    alpha, j, found = line_search(model, spec, obj, gc, opts, traj,
+                                  dtraj, res_norm, reg)
+    failed_ls = j >= opts.ls_iter
+    traj_new = update_traj(traj, alpha, dtraj)
+    delta = delta_step(dtraj, alpha)
+
+    take_step = ~stop_opt
+    traj = _where_tree(take_step, traj_new, traj)
+    delta_rec = jnp.where(take_step, delta, jnp.zeros((), dtype))
+    alpha_rec = jnp.where(take_step, alpha, jnp.zeros((), dtype))
+    stop = stop_opt | failed_ls | (delta < opts.delta_min)
+    return traj, stats, last_vio, delta_rec, alpha_rec, stop
+
+
 def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
                 active):
     """Inner quasi-Newton loop (``solver_methods.jl:38-44, 67-103``).
@@ -142,54 +202,9 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
 
     def body(c):
         l, stop, traj, stats, last_vio, delta_prev, alpha_prev = c
-        reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4   # reference l^4 schedule
-
-        # Fused residual + Jacobian + violation assembly (one constraint
-        # expansion and one dynamics-Jacobian pass for all three).
-        reg_eff = reg if opts.regularize else 0.0
-        res, jb, sta_v, con_v = R.assemble(model, spec, obj, gc, traj,
-                                           reg=reg_eff)
-        res_norm = R.residual_norm(spec, res)
-        dyn_v = R.dynamics_violation(res)
-        opt_v = R.optimality_violation(res)
-        stats = record(stats, True, outer_k + 1, res_norm, delta_prev,
-                       alpha_prev, dyn_v, con_v, sta_v, opt_v)
-        last_vio = jnp.stack([dyn_v, con_v, sta_v, opt_v])
-
-        stop_opt = opt_v < opts.eps_opt
-
-        # Structured Newton step (solver_methods.jl:84-88).
-        b = R.residual_knot_blocks(spec, res)
-        if method == "schur":
-            dflat = solve_tridiagonal_schur(spec, jb, -b)
-        elif method in ("pallas", "pallas_interpret"):
-            from ..ops.thomas_pallas import thomas_pallas_for_spec
-            dflat = thomas_pallas_for_spec(
-                spec, interpret=(method == "pallas_interpret"))(jb, -b)
-        elif method == "cr":
-            D, U, L = R.build_tridiagonal(spec, jb)
-            dflat = solve_cyclic_reduction(spec, D, U, L, -b)
-        elif method in ("tridiag", "dense"):
-            D, U, L = R.build_tridiagonal(spec, jb)
-            dflat = newton_step(spec, D, U, L, b, method=method)
-        else:
-            raise ValueError(
-                f"unknown linear-solver method {method!r}; expected one of "
-                "'schur', 'pallas', 'pallas_interpret', 'cr', 'tridiag', "
-                "'dense'")
-        dtraj = unpack_step(spec, dflat)
-
-        alpha, j, found = line_search(model, spec, obj, gc, opts, traj,
-                                      dtraj, res_norm, reg)
-        failed_ls = j >= opts.ls_iter
-        traj_new = update_traj(traj, alpha, dtraj)
-        delta = delta_step(dtraj, alpha)
-
-        take_step = ~stop_opt
-        traj = _where_tree(take_step, traj_new, traj)
-        delta_rec = jnp.where(take_step, delta, jnp.zeros((), dtype))
-        alpha_rec = jnp.where(take_step, alpha, jnp.zeros((), dtype))
-        stop = stop_opt | failed_ls | (delta < opts.delta_min)
+        traj, stats, last_vio, delta_rec, alpha_rec, stop = _iteration(
+            model, spec, obj, opts, method, gc, traj, stats, outer_k, l,
+            delta_prev, alpha_prev)
         return (l + 1, stop, traj, stats, last_vio, delta_rec, alpha_rec)
 
     init = (jnp.asarray(0, jnp.int32), ~active, traj, stats,
@@ -198,6 +213,96 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
     _, _, traj, stats, last_vio, delta_last, _ = jax.lax.while_loop(
         cond, body, init)
     return traj, stats, last_vio, delta_last
+
+
+def _outer_update(opts, traj, gc, rho, last_vio, prev_cvio, active):
+    """AL convergence gate + dual ascent + penalty schedule
+    (``solver_methods.jl:49-61``), applied when an outer iteration completes.
+
+    ``active`` masks lanes still inside the outer loop at a non-final outer
+    index; returns ``(converged, gc, rho, prev_cvio)``.
+    """
+    converged = ((last_vio[0] < opts.eps_dyn) & (last_vio[1] < opts.eps_con)
+                 & (last_vio[2] < opts.eps_sta) & (last_vio[3] < opts.eps_opt))
+    do_update = active & ~converged
+    cvio = jnp.maximum(last_vio[1], last_vio[2])
+    if opts.adaptive_penalty:
+        # LANCELOT-style safeguard: duals when feasibility improved enough,
+        # penalties otherwise (never both).
+        improved = cvio <= opts.adaptive_ratio * prev_cvio
+        gc_dual = gcm.dual_update(gc, traj)
+        gc_pen = gcm.penalty_update(gc)
+        gc = _where_tree(do_update & improved, gc_dual, gc)
+        gc = _where_tree(do_update & ~improved, gc_pen, gc)
+        rho = jnp.where(do_update & ~improved,
+                        jnp.minimum(rho * opts.rho_increase, opts.rho_max),
+                        rho)
+    else:
+        gc_new = gcm.penalty_update(gcm.dual_update(gc, traj))
+        gc = _where_tree(do_update, gc_new, gc)
+        rho = jnp.where(do_update,
+                        jnp.minimum(rho * opts.rho_increase, opts.rho_max),
+                        rho)
+    prev_cvio = jnp.where(do_update, cvio, prev_cvio)
+    return converged, gc, rho, prev_cvio
+
+
+def _solve_flat(prob: GameProblem, traj0, gc0, stats0, rho0, method):
+    """Flattened AL×Newton loop: ONE ``lax.while_loop`` over a (k, l) state
+    machine instead of nested outer/inner loops.
+
+    Per-lane semantics are identical to the nested path (same iteration
+    sequence, same floating-point ops).  The payoff is batched: JAX's
+    ``while_loop`` batching rule runs every lane until the slowest lane's
+    cond clears, so nested loops cost ``sum_k max_lanes(inner_trips_k)``
+    body executions while the flat machine costs
+    ``max_lanes(sum_k inner_trips_k)`` — strictly fewer whenever lanes hit
+    their expensive Newton rounds at different outer iterations (straggler
+    mitigation for the Monte-Carlo/bench batches).
+    """
+    spec, model, opts = prob.spec, prob.model, prob.opts
+    dtype = prob.x0.dtype
+    inf = jnp.asarray(jnp.inf, dtype)
+
+    def cond(c):
+        k, l, done, *_ = c
+        return (k < opts.outer_iter) & ~done
+
+    def body(c):
+        (k, l, done, traj, gc, rho, stats, last_vio, delta_prev, alpha_prev,
+         prev_cvio, delta_fin) = c
+
+        traj, stats, last_vio, delta_rec, alpha_rec, stop_inner = _iteration(
+            model, spec, obj=prob.obj, opts=opts, method=method, gc=gc,
+            traj=traj, stats=stats, outer_k=k, l=l, delta_prev=delta_prev,
+            alpha_prev=alpha_prev)
+        delta_fin = delta_rec
+
+        advance = stop_inner | (l + 1 >= opts.inner_iter)
+
+        # Outer-iteration bookkeeping, applied only on advance.
+        converged, gc_o, rho_o, prev_cvio_o = _outer_update(
+            opts, traj, gc, rho, last_vio, prev_cvio,
+            active=advance & (k < opts.outer_iter - 1))
+        done = done | (advance & converged)
+        gc = _where_tree(advance, gc_o, gc)
+        rho = jnp.where(advance, rho_o, rho)
+        prev_cvio = jnp.where(advance, prev_cvio_o, prev_cvio)
+
+        k = jnp.where(advance, k + 1, k)
+        l = jnp.where(advance, 0, l + 1)
+        delta_prev = jnp.where(advance, jnp.zeros((), dtype), delta_rec)
+        alpha_prev = jnp.where(advance, jnp.asarray(1.0, dtype), alpha_rec)
+        return (k, l, done, traj, gc, rho, stats, last_vio, delta_prev,
+                alpha_prev, prev_cvio, delta_fin)
+
+    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), traj0, gc0, rho0, stats0,
+            jnp.full((4,), inf), jnp.zeros((), dtype),
+            jnp.asarray(1.0, dtype), inf, jnp.zeros((), dtype))
+    (k, _, done, traj, gc, rho, stats, last_vio, _, _, _,
+     delta_fin) = jax.lax.while_loop(cond, body, init)
+    return k, traj, gc, rho, stats, delta_fin
 
 
 def newton_solve(prob: GameProblem, key=None, method: str = "schur",
@@ -225,49 +330,35 @@ def newton_solve(prob: GameProblem, key=None, method: str = "schur",
     rho0 = jnp.asarray(opts.rho_0, dtype)
     inf = jnp.asarray(jnp.inf, dtype)
 
-    def cond(c):
-        k, done, *_ = c
-        return (k < opts.outer_iter) & ~done
+    if opts.flat_loop:
+        k, traj, gc, rho, stats, delta = _solve_flat(
+            prob, traj0, gc0, stats0, rho0, method)
+    else:
+        def cond(c):
+            k, done, *_ = c
+            return (k < opts.outer_iter) & ~done
 
-    def body(c):
-        k, done, traj, gc, rho, stats, _, delta, prev_cvio = c
-        active = ~done
-        traj, stats, last_vio, delta = _inner_loop(
-            model, spec, obj=prob.obj, opts=opts, method=method, gc=gc,
-            traj=traj, stats=stats, outer_k=k, active=active)
+        def body(c):
+            k, done, traj, gc, rho, stats, _, delta, prev_cvio = c
+            active = ~done
+            traj, stats, last_vio, delta = _inner_loop(
+                model, spec, obj=prob.obj, opts=opts, method=method, gc=gc,
+                traj=traj, stats=stats, outer_k=k, active=active)
 
-        converged = ((last_vio[0] < opts.eps_dyn) & (last_vio[1] < opts.eps_con)
-                     & (last_vio[2] < opts.eps_sta) & (last_vio[3] < opts.eps_opt))
-        done = done | converged
+            # Convergence gate; dual ascent + penalty schedule — skipped once
+            # converged and on the final outer iteration
+            # (solver_methods.jl:49-61).
+            converged, gc, rho, prev_cvio = _outer_update(
+                opts, traj, gc, rho, last_vio, prev_cvio,
+                active=active & (k < opts.outer_iter - 1))
+            done = done | converged
+            return (k + 1, done, traj, gc, rho, stats, last_vio, delta,
+                    prev_cvio)
 
-        # Dual ascent + penalty schedule — skipped once converged and on the
-        # final outer iteration (solver_methods.jl:49-61).
-        do_update = active & ~converged & (k < opts.outer_iter - 1)
-        cvio = jnp.maximum(last_vio[1], last_vio[2])
-        if opts.adaptive_penalty:
-            # LANCELOT-style safeguard: duals when feasibility improved
-            # enough, penalties otherwise (never both).
-            improved = cvio <= opts.adaptive_ratio * prev_cvio
-            gc_dual = gcm.dual_update(gc, traj)
-            gc_pen = gcm.penalty_update(gc)
-            gc = _where_tree(do_update & improved, gc_dual, gc)
-            gc = _where_tree(do_update & ~improved, gc_pen, gc)
-            rho = jnp.where(do_update & ~improved,
-                            jnp.minimum(rho * opts.rho_increase, opts.rho_max),
-                            rho)
-        else:
-            gc_new = gcm.penalty_update(gcm.dual_update(gc, traj))
-            gc = _where_tree(do_update, gc_new, gc)
-            rho = jnp.where(do_update,
-                            jnp.minimum(rho * opts.rho_increase, opts.rho_max),
-                            rho)
-        prev_cvio = jnp.where(do_update, cvio, prev_cvio)
-        return (k + 1, done, traj, gc, rho, stats, last_vio, delta, prev_cvio)
-
-    init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), traj0, gc0, rho0,
-            stats0, jnp.full((4,), inf), jnp.zeros((), dtype), inf)
-    k, done, traj, gc, rho, stats, last_vio, delta, _ = jax.lax.while_loop(
-        cond, body, init)
+        init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), traj0, gc0,
+                rho0, stats0, jnp.full((4,), inf), jnp.zeros((), dtype), inf)
+        k, done, traj, gc, rho, stats, last_vio, delta, _ = (
+            jax.lax.while_loop(cond, body, init))
 
     # Final record at the solution (solver_methods.jl:64).
     res = R.residual(model, spec, prob.obj, gc, traj)

@@ -165,3 +165,38 @@ def test_quadrotor_solver():
     fin, _ = _final(out.stats)
     assert fin["dyn_vio"] < 1e-4
     assert np.isfinite(fin["res"])
+
+
+def test_flat_loop_matches_nested():
+    """The flattened (k,l) state-machine solve (Options.flat_loop, the
+    batched-straggler-mitigation path) is bitwise identical per lane to the
+    nested outer/inner while_loop (reference control flow,
+    solver_methods.jl:30-62)."""
+    import dataclasses
+    model = ag.unicycle_game(p=2)
+    N, dt = 10, 0.1
+    spec = ag.spec_from_model(model, N, dt)
+    obj = _lqr_obj(spec, 2, model)
+    gc = ag.game_constraints(spec)
+    gc = ag.add_collision_avoidance(spec, gc, radius=0.25)
+    gc = ag.add_control_bound(spec, gc, u_min=-1.0, u_max=1.0)
+    opts_flat = ag.Options(outer_iter=3, inner_iter=6)
+    opts_nest = dataclasses.replace(opts_flat, flat_loop=False)
+    key = jax.random.PRNGKey(3)
+    base = jnp.array([0.0, 1.0, 0.0, 1.0, 0.0, jnp.pi, 0.3, 0.3])
+    x0s = base[None] + 0.1 * jax.random.normal(key, (6, spec.n))
+
+    def solve(opts, x0):
+        prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
+        return ag.newton_solve(prob)
+
+    rf = jax.jit(jax.vmap(functools.partial(solve, opts_flat)))(x0s)
+    rn = jax.jit(jax.vmap(functools.partial(solve, opts_nest)))(x0s)
+    np.testing.assert_array_equal(np.asarray(rf.traj.x), np.asarray(rn.traj.x))
+    np.testing.assert_array_equal(np.asarray(rf.traj.lam),
+                                  np.asarray(rn.traj.lam))
+    np.testing.assert_array_equal(np.asarray(rf.stats.iter),
+                                  np.asarray(rn.stats.iter))
+    for bf, bn in zip(rf.gc.state_blocks + rf.gc.control_blocks,
+                      rn.gc.state_blocks + rn.gc.control_blocks):
+        np.testing.assert_array_equal(np.asarray(bf.lam), np.asarray(bn.lam))
