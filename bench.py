@@ -19,6 +19,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compilation cache: the flattened AL x Newton while_loop takes
+# minutes to compile cold; repeated bench/driver runs should hit the cache.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 "/root/repo/.jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 
 def main():
     dtype = jnp.float32        # TPU-native precision; f64 path is CPU-only
