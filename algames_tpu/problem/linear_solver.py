@@ -233,16 +233,12 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     cy = c_all.at[:, pu].add(jnp.einsum('tpnk,tpn->tpk', Bp_all, a_all))
     RHS_top = jnp.concatenate([cG, cy[:, :, None]], axis=2)  # [T, m, pn+1]
 
-    # lam reconstruction base: -blockdiag(At1^T) columns ++ -a column.
-    lam_base = jnp.zeros((T, pn, pn + 1), dtype)
-    for i in range(p):
-        lam_base = lam_base.at[:, i * n:(i + 1) * n, i * n:(i + 1) * n].set(
-            -AsupT)
-    lam_base = lam_base.at[:, :, pn].set(-a_all.reshape(T, pn))
-
     def fwd(carry, inp):
-        G_prev, y_prev = carry                       # [W, pn], [W]
-        Q, Kb, Rt, a, d0, At, At1T, lb = inp
+        # Carry holds only the (x, u) rows [d = n+m]: the recursion reads
+        # just the x rows, and the multipliers are reconstructed during the
+        # backward sweep from the statx relation (see ``bwd``).
+        G_prev, y_prev = carry                       # [d, pn], [d]
+        Q, Kb, Rt, a, d0, At, At1T = inp
         # Thomas fill-in: only dyn rows x lam cols.
         F = -At @ G_prev[:n]                         # [n, pn]
         F3 = F.reshape(n, p, n)
@@ -255,23 +251,28 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
         RHS = jnp.concatenate(
             [Rt, jnp.concatenate([dG, dy[:, None]], axis=1)], axis=0)
         sol = jnp.linalg.solve(K, RHS)               # [(n+m), pn+1]
-        X, Uu = sol[:n], sol[n:]
-
-        # Reconstruct the eliminated multipliers: lam_i = Q_i x - a_i.
-        lam = jnp.einsum('pab,bq->paq', Q, X).reshape(pn, pn + 1) + lb
-        G_t = jnp.concatenate([X[:, :pn], Uu[:, :pn], lam[:, :pn]], axis=0)
-        y_t = jnp.concatenate([X[:, pn], Uu[:, pn], lam[:, pn]])
+        G_t = sol[:, :pn]                            # rows (x, u)
+        y_t = sol[:, pn]
         return (G_t, y_t), (G_t, y_t)
 
-    init = (jnp.zeros((W, pn), dtype), jnp.zeros((W,), dtype))
+    d_rows = n + m
+    init = (jnp.zeros((d_rows, pn), dtype), jnp.zeros((d_rows,), dtype))
     _, (G, yhat) = jax.lax.scan(
         fwd, init,
-        (Q_all, Kbase, RHS_top, a_all, d_all, Asub, AsupT, lam_base))
+        (Q_all, Kbase, RHS_top, a_all, d_all, Asub, AsupT))
 
-    def bwd(y_next, inp):
-        G_t, yhat_t = inp
-        y_t = yhat_t - G_t @ y_next[n + m:]
-        return y_t, y_t
+    def bwd(lam_next, inp):
+        # lam_{i,t} = Q_i x_t + A_{t+1}^T lam_{i,t+1} - a_{i,t}  (statx row
+        # solved for the eliminated multiplier; A_T^T = 0 at the last knot).
+        G_t, yhat_t, Q, At1T, a = inp
+        xu = yhat_t - G_t @ lam_next                 # [d]
+        x = xu[:n]
+        lam = (jnp.einsum('pab,b->pa', Q, x)
+               + jnp.einsum('ab,pb->pa', At1T, lam_next.reshape(p, n))
+               - a)                                  # [p, n]
+        lam = lam.reshape(pn)
+        return lam, jnp.concatenate([xu, lam])
 
-    _, ys = jax.lax.scan(bwd, jnp.zeros((W,), dtype), (G, yhat), reverse=True)
+    _, ys = jax.lax.scan(bwd, jnp.zeros((pn,), dtype),
+                         (G, yhat, Q_all, AsupT, a_all), reverse=True)
     return ys.reshape(-1)
