@@ -297,6 +297,149 @@ def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
 
 
 # --------------------------------------------------------------------------
+# Point data: carry the line search's residual work into the next iteration
+# --------------------------------------------------------------------------
+
+@pytree_dataclass
+class PointData:
+    """Everything about a trajectory point the Newton iteration needs that
+    does NOT depend on the AL state (lam, mu) or the regularization:
+
+      rx0/ru0: cost gradients + dynamics-dual terms of the stationarity rows
+               (the residual before constraint AL gradients)
+      rd:      RK2 dynamics defects
+      A, B:    RK2 step Jacobians
+      state_c/state_J, control_c/control_J: per-constraint-block values and
+               Jacobians (functions of the trajectory only)
+
+    The accepted line-search trial evaluates the full residual at exactly the
+    point the next iteration re-assembles at (the reference recomputes it,
+    ``solver_methods.jl:73`` after ``:94``).  Carrying PointData lets the next
+    iteration rebuild residual AND Jacobian with cheap contractions — and it
+    stays exact across AL dual/penalty updates, because (c, J) are
+    gc-independent and the AL terms are rebuilt from the *current* lam/mu.
+    """
+    rx0: jnp.ndarray                 # [T, p, n]
+    ru0: jnp.ndarray                 # [T, m]
+    rd: jnp.ndarray                  # [T, n]
+    A: jnp.ndarray                   # [T, n, n]
+    B: jnp.ndarray                   # [T, n, m]
+    state_c: tuple                   # per state block: [K, C]
+    state_J: tuple                   # per state block: [K, C, n]
+    control_c: tuple
+    control_J: tuple
+
+
+def point_data(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+               traj: PrimalDual) -> PointData:
+    """Evaluate all gc-independent point quantities at ``traj`` (one pass,
+    same op order as :func:`residual` so rebuilds are bitwise-identical)."""
+    m = spec.m
+    qx, ru_cost = cost_gradient(spec, obj, traj)
+    A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
+
+    rx = jnp.transpose(qx[:, 1:], (1, 0, 2))
+    owner = owner_map_u(spec)
+    ru = ru_cost[owner, :, np.arange(m)].T
+    AtL = jnp.einsum('tab,pta->ptb', A[1:], traj.lam[:, 1:])
+    rx = rx.at[:-1].add(jnp.transpose(AtL, (1, 0, 2)))
+    rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
+    BtL = jnp.einsum('tab,pta->ptb', B, traj.lam)
+    ru = ru + BtL[owner, :, np.arange(m)].T
+
+    state_c, state_J = [], []
+    for blk in gc.state_blocks:
+        state_c.append(gcm.block_values(blk, traj))
+        state_J.append(gcm.block_jacobian(blk, traj))
+    control_c, control_J = [], []
+    for blk in gc.control_blocks:
+        control_c.append(gcm.block_values(blk, traj))
+        control_J.append(gcm.block_jacobian(blk, traj))
+
+    rd = dynamics_residual(model, spec, traj)
+    return PointData(rx0=rx, ru0=ru, rd=rd, A=A, B=B,
+                     state_c=tuple(state_c), state_J=tuple(state_J),
+                     control_c=tuple(control_c), control_J=tuple(control_J))
+
+
+def _irho(blk: gcm.ConBlock, c: jnp.ndarray) -> jnp.ndarray:
+    if blk.sense == "eq":
+        return blk.mu
+    return jnp.where((c >= 0.0) | (blk.lam > 0.0), blk.mu, 0.0)
+
+
+def residual_from_point(spec: ProblemSpec, gc: gcm.GameConstraints,
+                        pd: PointData) -> Residual:
+    """Rebuild the full residual from PointData under the CURRENT AL state
+    (bitwise-identical to :func:`residual` at the same point)."""
+    rx, ru = pd.rx0, pd.ru0
+    for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
+        grad = jnp.einsum('kcd,kc->kd', J, blk.lam + _irho(blk, c) * c)
+        rx = rx.at[:, blk.owner].add(grad)
+    for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
+        ru = ru + jnp.einsum('kcd,kc->kd', J, blk.lam + _irho(blk, c) * c)
+    return Residual(rx=rx, ru=ru, rd=pd.rd)
+
+
+def assemble_from_point(spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+                        traj: PrimalDual, pd: PointData,
+                        reg: jnp.ndarray | float = 0.0):
+    """Rebuild what :func:`assemble` produces — (Residual, JacBlocks,
+    sta_vio_max, con_vio_max) — from carried PointData: only the cost
+    Hessians and the AL contractions with the current (lam, mu) are
+    recomputed.  Bitwise-identical to :func:`assemble` at the same point."""
+    T, p, n, m = spec.T, spec.p, spec.n, spec.m
+    dtype = traj.x.dtype
+    Qx, Ru = cost_hessian(spec, obj, traj)
+
+    rx, ru = pd.rx0, pd.ru0
+    Qblk = jnp.transpose(Qx[:, 1:], (1, 0, 2, 3))
+    Ublk = jnp.zeros((T, m, m), dtype)
+    for i in range(p):
+        pu = np.asarray(spec.pu[i])
+        Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
+            Ru[i][:, pu[:, None], pu[None, :]])
+
+    sta_v = jnp.zeros((), dtype)
+    con_v = jnp.zeros((), dtype)
+    for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
+        irho = _irho(blk, c)
+        grad = jnp.einsum('kcd,kc->kd', J, blk.lam + irho * c)
+        hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
+        rx = rx.at[:, blk.owner].add(grad)
+        Qblk = Qblk.at[:, blk.owner].add(hess)
+        sta_v = jnp.maximum(sta_v, gcm.block_violation_max(blk, c))
+    for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
+        irho = _irho(blk, c)
+        grad = jnp.einsum('kcd,kc->kd', J, blk.lam + irho * c)
+        hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
+        ru = ru + grad
+        for i in range(p):
+            pu = np.asarray(spec.pu[i])
+            Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
+                hess[:, pu[:, None], pu[None, :]])
+        con_v = jnp.maximum(con_v, gcm.block_violation_max(blk, c))
+
+    diag_n, diag_m = np.arange(n), np.arange(m)
+    Qblk = Qblk.at[:, :, diag_n, diag_n].add(reg)
+    Ublk = Ublk.at[:, diag_m, diag_m].add(reg)
+    return (Residual(rx=rx, ru=ru, rd=pd.rd),
+            JacBlocks(Qblk=Qblk, Ublk=Ublk, A=pd.A, B=pd.B), sta_v, con_v)
+
+
+def point_violations(gc: gcm.GameConstraints, pd: PointData):
+    """(sta_vio_max, con_vio_max) from carried constraint values."""
+    dtype = pd.rd.dtype
+    sta_v = jnp.zeros((), dtype)
+    con_v = jnp.zeros((), dtype)
+    for blk, c in zip(gc.state_blocks, pd.state_c):
+        sta_v = jnp.maximum(sta_v, gcm.block_violation_max(blk, c))
+    for blk, c in zip(gc.control_blocks, pd.control_c):
+        con_v = jnp.maximum(con_v, gcm.block_violation_max(blk, c))
+    return sta_v, con_v
+
+
+# --------------------------------------------------------------------------
 # Reference-order flattening (test oracles, IBR masks, active-set system)
 # --------------------------------------------------------------------------
 

@@ -58,7 +58,7 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
     """Backtracking line search (reference ``line_search``,
     ``solver_methods.jl:105-125``).  Accept alpha iff the trial mean residual
     (with Tikhonov pull toward the current iterate) improves by (1-alpha*beta).
-    Returns (alpha, j, found); failed iff j == ls_iter.
+    Returns (alpha, j, found, pd); failed iff j == ls_iter.
 
     With ``opts.ls_parallel = K > 0`` the first K backtracking trials are
     evaluated in ONE vectorized residual pass and the first passing trial is
@@ -66,81 +66,89 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
     a vmapped batch no longer serializes on its deepest lane.  Trials beyond
     K (rare: the depth histogram of the flagship bench puts p99 at 2) run in
     the reference's sequential loop.
+
+    ``pd`` is the :class:`~..problem.residual.PointData` evaluated at the
+    accepted trial point — the next iteration rebuilds its residual/Jacobian
+    from it instead of re-evaluating (the reference recomputes,
+    ``solver_methods.jl:73``).  On a FAILED line search the reference steps
+    with a final alpha that was never evaluated (alpha_0 * decrease^ls_iter,
+    ~3e-8 of the step); the returned pd is then from the last *tested* alpha
+    — an O(1e-8 * |step|) approximation on lanes that immediately stop.
     """
     dtype = res_norm.dtype
     reg_eff = reg if opts.regularize else 0.0
 
-    def trial_norm(alpha):
+    def trial_point(alpha):
         trial = update_traj(traj, alpha, dtraj)
-        res_t = R.residual(model, spec, obj, gc, trial,
-                           reg=reg_eff, traj_ref=traj)
-        return R.residual_norm(spec, res_t)
+        pd = R.point_data(model, spec, obj, gc, trial)
+        res_t = R.residual_from_point(spec, gc, pd)
+        # Tikhonov pull toward the current iterate (residual's reg term),
+        # applied in the same op order as R.residual(reg, traj_ref).
+        rx = res_t.rx + reg_eff * (trial.x[1:] - traj.x[1:])[:, None, :]
+        ru = res_t.ru + reg_eff * (trial.u - traj.u)
+        tn = R.residual_norm(spec, R.Residual(rx=rx, ru=ru, rd=res_t.rd))
+        return tn, pd
 
-    K = min(int(opts.ls_parallel), opts.ls_iter - 1) if opts.ls_parallel else 0
-    if K > 0:
-        alphas = (opts.alpha_0
-                  * opts.alpha_decrease ** jnp.arange(K, dtype=dtype))
-        tns = jax.vmap(trial_norm)(alphas)
-        ok = tns <= (1.0 - alphas * opts.beta) * res_norm
-        any_ok = jnp.any(ok)
-        first = jnp.argmax(ok)                    # index of first passing trial
-        alpha_par = alphas[first]
-        j_par = (first + 1).astype(jnp.int32)
-        # Sequential continuation for lanes whose first K trials all failed:
-        # identical carry to the reference loop after K rejected trials.
-        init = (jnp.asarray(K + 1, jnp.int32),
-                jnp.asarray(opts.alpha_0 * opts.alpha_decrease ** K, dtype),
-                any_ok)
-    else:
-        init = (jnp.asarray(1, jnp.int32), jnp.asarray(opts.alpha_0, dtype),
-                jnp.asarray(False))
+    # At least one vectorized trial so the carried pd always starts defined.
+    K = max(1, min(int(opts.ls_parallel), opts.ls_iter - 1))
+    alphas = (opts.alpha_0
+              * opts.alpha_decrease ** jnp.arange(K, dtype=dtype))
+    tns, pds = jax.vmap(trial_point)(alphas)
+    ok = tns <= (1.0 - alphas * opts.beta) * res_norm
+    any_ok = jnp.any(ok)
+    first = jnp.argmax(ok)                    # index of first passing trial
+    alpha_par = alphas[first]
+    j_par = (first + 1).astype(jnp.int32)
+    pd_par = jax.tree_util.tree_map(lambda s: s[first], pds)
+    # Sequential continuation for lanes whose first K trials all failed:
+    # identical carry to the reference loop after K rejected trials.
+    pd_last = jax.tree_util.tree_map(lambda s: s[K - 1], pds)
+    init = (jnp.asarray(K + 1, jnp.int32),
+            jnp.asarray(opts.alpha_0 * opts.alpha_decrease ** K, dtype),
+            any_ok, pd_last)
 
     def cond(c):
-        j, alpha, found = c
+        j, alpha, found, _ = c
         return (j < opts.ls_iter) & ~found
 
     def body(c):
-        j, alpha, found = c
-        tn = trial_norm(alpha)
+        j, alpha, found, _ = c
+        tn, pd_t = trial_point(alpha)
         ok = tn <= (1.0 - alpha * opts.beta) * res_norm
         return (jnp.where(ok, j, j + 1),
                 jnp.where(ok, alpha, alpha * opts.alpha_decrease),
-                ok)
+                ok, pd_t)
 
-    j, alpha, found = jax.lax.while_loop(cond, body, init)
-    if K > 0:
-        alpha = jnp.where(any_ok, alpha_par, alpha)
-        j = jnp.where(any_ok, j_par, j)
-        found = found | any_ok
-    return alpha, j, found
-
-
-def _violations(model, spec, gc, traj, res):
-    dyn_v = R.dynamics_violation(res)
-    opt_v = R.optimality_violation(res)
-    sta = gcm.state_violation(gc, traj)
-    con = gcm.control_violation(gc, traj)
-    sta_v = jnp.max(sta) if sta.size else jnp.zeros((), res.rd.dtype)
-    con_v = jnp.max(con) if con.size else jnp.zeros((), res.rd.dtype)
-    return dyn_v, con_v, sta_v, opt_v
+    j, alpha, found, pd_seq = jax.lax.while_loop(cond, body, init)
+    alpha = jnp.where(any_ok, alpha_par, alpha)
+    j = jnp.where(any_ok, j_par, j)
+    found = found | any_ok
+    pd = _where_tree(any_ok, pd_par, pd_seq)
+    return alpha, j, found, pd
 
 
-def _iteration(model, spec, obj, opts, method, gc, traj, stats, outer_k, l,
-               delta_prev, alpha_prev):
+def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
+               l, delta_prev, alpha_prev):
     """One inner quasi-Newton iteration (``solver_methods.jl:67-103``):
     fused assembly, structured KKT step, line search, masked update.
 
-    Returns ``(traj, stats, last_vio, delta_rec, alpha_rec, stop_inner)``
+    ``pd`` is the PointData at ``traj`` (carried from the accepted
+    line-search trial); residual and Jacobian are REBUILT from it under the
+    current AL state — bitwise the same values as a fresh evaluation, at a
+    fraction of the FLOPs.
+
+    Returns ``(traj, pd, stats, last_vio, delta_rec, alpha_rec, stop_inner)``
     where ``stop_inner`` reproduces the reference's ``:break`` conditions.
     """
     dtype = traj.x.dtype
     reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4   # reference l^4 schedule
 
-    # Fused residual + Jacobian + violation assembly (one constraint
-    # expansion and one dynamics-Jacobian pass for all three).
+    # Rebuild residual + Jacobian + violations from the carried point data
+    # (one constraint expansion and one dynamics-Jacobian pass TOTAL per
+    # accepted point, shared with the line search that produced it).
     reg_eff = reg if opts.regularize else 0.0
-    res, jb, sta_v, con_v = R.assemble(model, spec, obj, gc, traj,
-                                       reg=reg_eff)
+    res, jb, sta_v, con_v = R.assemble_from_point(spec, obj, gc, traj, pd,
+                                                  reg=reg_eff)
     res_norm = R.residual_norm(spec, res)
     dyn_v = R.dynamics_violation(res)
     opt_v = R.optimality_violation(res)
@@ -171,27 +179,28 @@ def _iteration(model, spec, obj, opts, method, gc, traj, stats, outer_k, l,
             "'dense'")
     dtraj = unpack_step(spec, dflat)
 
-    alpha, j, found = line_search(model, spec, obj, gc, opts, traj,
-                                  dtraj, res_norm, reg)
+    alpha, j, found, pd_ls = line_search(model, spec, obj, gc, opts, traj,
+                                         dtraj, res_norm, reg)
     failed_ls = j >= opts.ls_iter
     traj_new = update_traj(traj, alpha, dtraj)
     delta = delta_step(dtraj, alpha)
 
     take_step = ~stop_opt
     traj = _where_tree(take_step, traj_new, traj)
+    pd = _where_tree(take_step, pd_ls, pd)
     delta_rec = jnp.where(take_step, delta, jnp.zeros((), dtype))
     alpha_rec = jnp.where(take_step, alpha, jnp.zeros((), dtype))
     stop = stop_opt | failed_ls | (delta < opts.delta_min)
-    return traj, stats, last_vio, delta_rec, alpha_rec, stop
+    return traj, pd, stats, last_vio, delta_rec, alpha_rec, stop
 
 
-def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
+def _inner_loop(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
                 active):
     """Inner quasi-Newton loop (``solver_methods.jl:38-44, 67-103``).
 
     Runs while l < inner_iter and no break condition fired; all updates are
     masked so inactive (converged / failed) lanes are no-ops under vmap.
-    Returns (traj, stats, last_vio[4]).
+    Returns (traj, pd, stats, last_vio[4], delta_last).
     """
     dtype = traj.x.dtype
     inf = jnp.asarray(jnp.inf, dtype)
@@ -201,18 +210,18 @@ def _inner_loop(model, spec, obj, opts, method, gc, traj, stats, outer_k,
         return (l < opts.inner_iter) & ~stop
 
     def body(c):
-        l, stop, traj, stats, last_vio, delta_prev, alpha_prev = c
-        traj, stats, last_vio, delta_rec, alpha_rec, stop = _iteration(
-            model, spec, obj, opts, method, gc, traj, stats, outer_k, l,
+        l, stop, traj, pd, stats, last_vio, delta_prev, alpha_prev = c
+        traj, pd, stats, last_vio, delta_rec, alpha_rec, stop = _iteration(
+            model, spec, obj, opts, method, gc, traj, pd, stats, outer_k, l,
             delta_prev, alpha_prev)
-        return (l + 1, stop, traj, stats, last_vio, delta_rec, alpha_rec)
+        return (l + 1, stop, traj, pd, stats, last_vio, delta_rec, alpha_rec)
 
-    init = (jnp.asarray(0, jnp.int32), ~active, traj, stats,
+    init = (jnp.asarray(0, jnp.int32), ~active, traj, pd, stats,
             jnp.full((4,), inf), jnp.zeros((), dtype),
             jnp.asarray(1.0, dtype))
-    _, _, traj, stats, last_vio, delta_last, _ = jax.lax.while_loop(
+    _, _, traj, pd, stats, last_vio, delta_last, _ = jax.lax.while_loop(
         cond, body, init)
-    return traj, stats, last_vio, delta_last
+    return traj, pd, stats, last_vio, delta_last
 
 
 def _outer_update(opts, traj, gc, rho, last_vio, prev_cvio, active):
@@ -247,7 +256,7 @@ def _outer_update(opts, traj, gc, rho, last_vio, prev_cvio, active):
     return converged, gc, rho, prev_cvio
 
 
-def _solve_flat(prob: GameProblem, traj0, gc0, stats0, rho0, method):
+def _solve_flat(prob: GameProblem, traj0, pd0, gc0, stats0, rho0, method):
     """Flattened AL×Newton loop: ONE ``lax.while_loop`` over a (k, l) state
     machine instead of nested outer/inner loops.
 
@@ -269,13 +278,14 @@ def _solve_flat(prob: GameProblem, traj0, gc0, stats0, rho0, method):
         return (k < opts.outer_iter) & ~done
 
     def body(c):
-        (k, l, done, traj, gc, rho, stats, last_vio, delta_prev, alpha_prev,
-         prev_cvio, delta_fin) = c
+        (k, l, done, traj, pd, gc, rho, stats, last_vio, delta_prev,
+         alpha_prev, prev_cvio, delta_fin) = c
 
-        traj, stats, last_vio, delta_rec, alpha_rec, stop_inner = _iteration(
+        (traj, pd, stats, last_vio, delta_rec, alpha_rec,
+         stop_inner) = _iteration(
             model, spec, obj=prob.obj, opts=opts, method=method, gc=gc,
-            traj=traj, stats=stats, outer_k=k, l=l, delta_prev=delta_prev,
-            alpha_prev=alpha_prev)
+            traj=traj, pd=pd, stats=stats, outer_k=k, l=l,
+            delta_prev=delta_prev, alpha_prev=alpha_prev)
         delta_fin = delta_rec
 
         advance = stop_inner | (l + 1 >= opts.inner_iter)
@@ -293,16 +303,16 @@ def _solve_flat(prob: GameProblem, traj0, gc0, stats0, rho0, method):
         l = jnp.where(advance, 0, l + 1)
         delta_prev = jnp.where(advance, jnp.zeros((), dtype), delta_rec)
         alpha_prev = jnp.where(advance, jnp.asarray(1.0, dtype), alpha_rec)
-        return (k, l, done, traj, gc, rho, stats, last_vio, delta_prev,
+        return (k, l, done, traj, pd, gc, rho, stats, last_vio, delta_prev,
                 alpha_prev, prev_cvio, delta_fin)
 
     init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), traj0, gc0, rho0, stats0,
+            jnp.asarray(False), traj0, pd0, gc0, rho0, stats0,
             jnp.full((4,), inf), jnp.zeros((), dtype),
             jnp.asarray(1.0, dtype), inf, jnp.zeros((), dtype))
-    (k, _, done, traj, gc, rho, stats, last_vio, _, _, _,
+    (k, _, done, traj, pd, gc, rho, stats, last_vio, _, _, _,
      delta_fin) = jax.lax.while_loop(cond, body, init)
-    return k, traj, gc, rho, stats, delta_fin
+    return k, traj, pd, gc, rho, stats, delta_fin
 
 
 def newton_solve(prob: GameProblem, key=None, method: str = "schur",
@@ -329,21 +339,25 @@ def newton_solve(prob: GameProblem, key=None, method: str = "schur",
     stats0 = init_stats(opts.outer_iter * opts.inner_iter + 1, dtype)
     rho0 = jnp.asarray(opts.rho_0, dtype)
     inf = jnp.asarray(jnp.inf, dtype)
+    # Point data at the initial iterate; each accepted line-search step hands
+    # the next iteration its PointData, so this is the only fresh full
+    # evaluation outside the line search.
+    pd0 = R.point_data(model, spec, prob.obj, gc0, traj0)
 
     if opts.flat_loop:
-        k, traj, gc, rho, stats, delta = _solve_flat(
-            prob, traj0, gc0, stats0, rho0, method)
+        k, traj, pd, gc, rho, stats, delta = _solve_flat(
+            prob, traj0, pd0, gc0, stats0, rho0, method)
     else:
         def cond(c):
             k, done, *_ = c
             return (k < opts.outer_iter) & ~done
 
         def body(c):
-            k, done, traj, gc, rho, stats, _, delta, prev_cvio = c
+            k, done, traj, pd, gc, rho, stats, _, delta, prev_cvio = c
             active = ~done
-            traj, stats, last_vio, delta = _inner_loop(
+            traj, pd, stats, last_vio, delta = _inner_loop(
                 model, spec, obj=prob.obj, opts=opts, method=method, gc=gc,
-                traj=traj, stats=stats, outer_k=k, active=active)
+                traj=traj, pd=pd, stats=stats, outer_k=k, active=active)
 
             # Convergence gate; dual ascent + penalty schedule — skipped once
             # converged and on the final outer iteration
@@ -352,18 +366,22 @@ def newton_solve(prob: GameProblem, key=None, method: str = "schur",
                 opts, traj, gc, rho, last_vio, prev_cvio,
                 active=active & (k < opts.outer_iter - 1))
             done = done | converged
-            return (k + 1, done, traj, gc, rho, stats, last_vio, delta,
+            return (k + 1, done, traj, pd, gc, rho, stats, last_vio, delta,
                     prev_cvio)
 
-        init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), traj0, gc0,
-                rho0, stats0, jnp.full((4,), inf), jnp.zeros((), dtype), inf)
-        k, done, traj, gc, rho, stats, last_vio, delta, _ = (
+        init = (jnp.asarray(0, jnp.int32), jnp.asarray(False), traj0, pd0,
+                gc0, rho0, stats0, jnp.full((4,), inf), jnp.zeros((), dtype),
+                inf)
+        k, done, traj, pd, gc, rho, stats, last_vio, delta, _ = (
             jax.lax.while_loop(cond, body, init))
 
-    # Final record at the solution (solver_methods.jl:64).
-    res = R.residual(model, spec, prob.obj, gc, traj)
+    # Final record at the solution (solver_methods.jl:64) — rebuilt from the
+    # carried point data (bitwise what a fresh evaluation would produce).
+    res = R.residual_from_point(spec, gc, pd)
     res_norm = R.residual_norm(spec, res)
-    dyn_v, con_v, sta_v, opt_v = _violations(model, spec, gc, traj, res)
+    dyn_v = R.dynamics_violation(res)
+    opt_v = R.optimality_violation(res)
+    sta_v, con_v = R.point_violations(gc, pd)
     stats = record(stats, True, k, res_norm, delta,
                    jnp.asarray(1.0, dtype), dyn_v, con_v, sta_v, opt_v)
     return SolveResult(traj=traj, gc=gc, stats=stats, rho=rho)

@@ -61,3 +61,28 @@ def display_solver_data(k, l, j, delta, res_norm, reg_x) -> None:
     """Console data row (reference ``display_solver_data``, ``src/utils.jl:50-61``)."""
     print(f"{k:<3} {l:<2} {j:<2} {float(delta):<6.0e} "
           f"{float(res_norm):<6.0e} {float(reg_x):<6.0e}")
+
+
+def convert_video_to_gif(video_path: str, gif_path: str,
+                         framerate: int = 30, width: int = 1080,
+                         overwrite: bool = True) -> None:
+    """Convert a screen-capture video to a gif by shelling out to ffmpeg
+    (counterpart of the reference's ``convert_video_to_gif``,
+    ``src/utils.jl:91-120``, which calls ``FFMPEG.exe``).
+
+    Requires an ``ffmpeg`` binary on PATH; raises ``FileNotFoundError``
+    otherwise (the reference similarly depends on an external FFMPEG it does
+    not declare as a dependency).
+    """
+    import shutil
+    import subprocess
+
+    ffmpeg = shutil.which("ffmpeg")
+    if ffmpeg is None:
+        raise FileNotFoundError("ffmpeg not found on PATH")
+    cmd = [ffmpeg, "-i", video_path,
+           "-vf", f"fps={framerate},scale={width}:-1:flags=lanczos",
+           gif_path]
+    if overwrite:
+        cmd.insert(1, "-y")
+    subprocess.run(cmd, check=True, capture_output=True)
