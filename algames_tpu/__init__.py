@@ -31,8 +31,9 @@ from .constraints import (ConBlock, CylinderWall, GameConstraints, Wall,
                           reset_constraints, reset_penalties,
                           set_constraint_params, state_violation,
                           update_active_set)
-from .problem import (GameProblem, IBROptions, Options, SolveResult,
-                      game_problem, newton_solve, newton_solve_jit)
+from .problem import (GameProblem, IBROptions, Options, Penalty,
+                      Regularizer, SolveResult, game_problem, newton_solve,
+                      newton_solve_jit)
 from .problem.ibr import (ibr_newton_solve, ibr_newton_solve_jit,
                           ibr_newton_solve_player, player_violations)
 from .stats import Statistics

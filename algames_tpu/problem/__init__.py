@@ -1,6 +1,6 @@
 from . import residual
 from .linear_solver import newton_step, solve_dense, solve_tridiagonal
-from .options import IBROptions, Options
+from .options import IBROptions, Options, Penalty, Regularizer
 from .problem import GameProblem, game_problem
 from .solver import SolveResult, line_search, newton_solve, newton_solve_jit
 

@@ -95,6 +95,43 @@ class Options:
 
 
 @dataclasses.dataclass(frozen=True)
+class Regularizer:
+    """Per-variable-kind Tikhonov coefficients (reference ``Regularizer``,
+    ``src/struct/regularizer.jl:5-15``, with ``set!``/``mult!``,
+    ``:17-35``).
+
+    The solver itself carries the scalar schedule ``reg = reg_0 * l^4`` in
+    its loop state (only the x/u entries are ever applied by the reference,
+    ``src/problem/global_quantities.jl:168-193``); this mirror of the
+    reference API exists for users who drive iterations manually via
+    ``residual.jacobian_blocks(reg_x=..., reg_u=...)``.
+    """
+    x: float = 0.0
+    u: float = 0.0
+    lam: float = 0.0
+
+    def set(self, rho: float) -> "Regularizer":
+        """All coefficients <- rho (reference ``set!``)."""
+        return Regularizer(x=rho, u=rho, lam=rho)
+
+    def mult(self, gamma: float) -> "Regularizer":
+        """All coefficients *= gamma (reference ``mult!``)."""
+        return Regularizer(x=self.x * gamma, u=self.u * gamma,
+                           lam=self.lam * gamma)
+
+
+@dataclasses.dataclass(frozen=True)
+class Penalty:
+    """AL penalty pair (reference ``Penalty``, ``src/problem/problem.jl:5-13``).
+
+    The live value evolves in the solver carry and is returned as
+    ``SolveResult.rho``; this record mirrors the reference's constructor API.
+    """
+    rho: float = 1.0
+    rho_trial: float = 1.0
+
+
+@dataclasses.dataclass(frozen=True)
 class IBROptions:
     """Iterative-best-response options (reference ``IBROptions``,
     ``src/struct/options.jl:123-136``)."""

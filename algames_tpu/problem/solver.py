@@ -160,7 +160,11 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
 
     # Structured Newton step (solver_methods.jl:84-88).
     b = R.residual_knot_blocks(spec, res)
-    if method == "schur":
+    if callable(method):
+        # Custom KKT solver, e.g. parallel.horizon.spike_kkt_method(mesh):
+        # (spec, JacBlocks, -b [T, W]) -> flat step [S].
+        dflat = method(spec, jb, -b)
+    elif method == "schur":
         dflat = solve_tridiagonal_schur(spec, jb, -b)
     elif method in ("pallas", "pallas_interpret"):
         from ..ops.thomas_pallas import thomas_pallas_for_spec
