@@ -203,13 +203,13 @@ def cost_hessian(spec: ProblemSpec, obj: GameObjective, traj: PrimalDual):
     p, n, m, N, T = spec.p, spec.n, spec.m, spec.N, spec.T
     dtype = traj.x.dtype
     scale = _dt_scale(spec, dtype)
-    Qx = jnp.zeros((p, N, n, n), dtype)
-    diag = np.arange(n)
-    Qx = Qx.at[:, :, diag, diag].add(obj.Qd[:, None, :] * scale[None, :, None])
-    Ru = jnp.zeros((p, T, m, m), dtype)
-    diag_m = np.arange(m)
-    Ru = Ru.at[:, :, diag_m, diag_m].add(
-        jnp.broadcast_to(obj.Rd[:, None, :] * spec.dt, (p, T, m)))
+    # Diagonal embeddings as eye-broadcast multiplies (diagonal scatters are
+    # slow partial-tile writes on TPU).
+    Qx = ((obj.Qd[:, None, :] * scale[None, :, None])[..., None]
+          * jnp.eye(n, dtype=dtype))                         # [p, N, n, n]
+    Ru = jnp.broadcast_to(
+        ((obj.Rd * spec.dt)[:, :, None] * jnp.eye(m, dtype=dtype))[:, None],
+        (p, T, m, m))                                        # [p, T, m, m]
     if obj.pair_i:
         _, ch = _pair_grad_hess(obj, traj.x, n, want_hess=True)
         ch = ch * scale[None, :, None, None]

@@ -177,8 +177,14 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
     Bp = Bm[:, :, :, pu.reshape(-1)].reshape(B, T, n, p, -1)
     Bp = jnp.transpose(Bp, (0, 1, 3, 2, 4))                    # [B,T,p,n,mi]
     BtQ_p = jnp.einsum('btpnk,btpnq->btpkq', Bp, Qb)
-    BtQ = jnp.zeros((B, T, m, n), dtype).at[:, :, pu].set(BtQ_p)
+    # Row embeddings by STATIC permutation gather (scatter .at[pu].set is a
+    # pathologically slow partial-tile VMEM write on TPU — it dominated the
+    # round-1 device profile at ~66% of solve time).
+    perm = pu.reshape(-1)                     # player-major row order
+    inv = np.argsort(perm)                    # natural row -> stacked pos
+    BtQ = BtQ_p.reshape(B, T, m, n)[:, :, inv, :]
     eye_n = jnp.eye(n, dtype=dtype)
+    eye_p = jnp.asarray(np.eye(p), dtype)
     # Kb rows (statu, dyn), cols (u, x): u-first ordering for pivoting-free GE.
     Kb = jnp.concatenate([
         jnp.concatenate([Ub, BtQ], axis=3),
@@ -188,12 +194,14 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
     a_all = b_knots[:, :, :pn]
     c_all = b_knots[:, :, pn:pn + m]
     d_all = b_knots[:, :, pn + m:]
-    cG_p = jnp.einsum('btpnk,btnq->btpkq', Bp, AsupT)
-    cG = jnp.zeros((B, T, m, pn), dtype)
-    for i in range(p):
-        cG = cG.at[:, :, pu[i], i * n:(i + 1) * n].set(cG_p[:, :, i])
-    cy = c_all.at[:, :, pu].add(
-        jnp.einsum('btpnk,btpn->btpk', Bp, a_all.reshape(B, T, p, n)))
+    cG_p = jnp.einsum('btpnk,btnq->btpkq', Bp, AsupT)          # [B,T,p,mi,n]
+    # Block-diagonal embed via identity mask, then the same row permutation.
+    cG_bd = (cG_p[:, :, :, :, None, :]
+             * eye_p[None, None, :, None, :, None])           # [B,T,p,mi,p,n]
+    cG = cG_bd.reshape(B, T, m, pn)[:, :, inv, :]
+    cy_add = jnp.einsum('btpnk,btpn->btpk', Bp,
+                        a_all.reshape(B, T, p, n))            # [B,T,p,mi]
+    cy = c_all + cy_add.reshape(B, T, m)[:, :, inv]
     Rt = jnp.concatenate([cG, cy[..., None]], axis=3)          # [B,T,m,R]
 
     def lane_last(x):

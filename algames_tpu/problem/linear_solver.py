@@ -215,9 +215,13 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     Bp_all = jb.B[:, :, pu.reshape(-1)].reshape(T, n, p, -1).transpose(0, 2, 1, 3)
 
     # ---- carry-independent precomputation, batched over all T knots -------
+    # Row embeddings by static permutation gather, not scatter (slow
+    # partial-tile VMEM writes on TPU; see ops/thomas_pallas.py).
+    perm = pu.reshape(-1)
+    inv = np.argsort(perm)
     Q_all = jb.Qblk                                      # [T, p, n, n]
     BtQ_p = jnp.einsum('tpnk,tpnq->tpkq', Bp_all, Q_all)  # [T, p, mi, n]
-    BtQ = jnp.zeros((T, m, n), dtype).at[:, pu].set(BtQ_p)
+    BtQ = BtQ_p.reshape(T, m, n)[:, inv, :]
     Kbase = jnp.concatenate([
         jnp.concatenate([BtQ, jb.Ublk], axis=2),
         jnp.concatenate([jnp.broadcast_to(-eye_n, (T, n, n)), jb.B], axis=2),
@@ -227,10 +231,12 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     c_all = b_knots[:, pn:pn + m]
     d_all = b_knots[:, pn + m:]
     cG_p = jnp.einsum('tpnk,tnq->tpkq', Bp_all, AsupT)   # [T, p, mi, n]
-    cG = jnp.zeros((T, m, pn), dtype)
-    for i in range(p):
-        cG = cG.at[:, pu[i], i * n:(i + 1) * n].set(cG_p[:, i])
-    cy = c_all.at[:, pu].add(jnp.einsum('tpnk,tpn->tpk', Bp_all, a_all))
+    eye_p = jnp.asarray(np.eye(p), dtype)
+    cG_bd = (cG_p[:, :, :, None, :]
+             * eye_p[None, :, None, :, None])            # [T, p, mi, p, n]
+    cG = cG_bd.reshape(T, m, pn)[:, inv, :]
+    cy_add = jnp.einsum('tpnk,tpn->tpk', Bp_all, a_all)  # [T, p, mi]
+    cy = c_all + cy_add.reshape(T, m)[:, inv]
     RHS_top = jnp.concatenate([cG, cy[:, :, None]], axis=2)  # [T, m, pn+1]
 
     def fwd(carry, inp):

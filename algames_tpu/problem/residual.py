@@ -58,6 +58,32 @@ def owner_map_u(spec: ProblemSpec) -> np.ndarray:
     return owner
 
 
+def _same_owner_mask(spec: ProblemSpec) -> np.ndarray:
+    """Static [m, m] 0/1 mask: 1 iff both control indices belong to the same
+    player.  Embedding per-player control Hessian sub-blocks is a multiply by
+    this mask — strided ``.at[pu, pu].add`` scatters are pathologically slow
+    on TPU (partial-tile VMEM writes dominated the round-1 profile)."""
+    owner = owner_map_u(spec)
+    return (owner[:, None] == owner[None, :]).astype(np.float64)
+
+
+def _owner_select(spec: ProblemSpec, per_player, T, width, dtype):
+    """Stack per-player accumulations [T, width] (None = zero) into a
+    [T, p, width] add-term.  Replaces per-block ``rx.at[:, owner].add``
+    scatters with ONE stack + ONE add."""
+    if all(g is None for g in per_player):
+        return None
+    z = None
+    out = []
+    for g in per_player:
+        if g is None:
+            if z is None:
+                z = jnp.zeros((T,) + width, dtype)
+            g = z
+        out.append(g)
+    return jnp.stack(out, axis=1)
+
+
 def dynamics_residual(model, spec: ProblemSpec, traj: PrimalDual) -> jnp.ndarray:
     """RK2 defects [T, n] (reference ``dynamics_residual``,
     ``local_quantities.jl:13-15``)."""
@@ -73,42 +99,17 @@ def residual(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
 
     ``reg``/``traj_ref`` implement the Tikhonov pull toward a reference
     trajectory used during line search; at ``traj_ref = traj`` it vanishes.
+    Implemented as ``point_data`` + ``residual_from_point`` so fresh and
+    carried evaluations are the same code path.
     """
-    T, p, n, m = spec.T, spec.p, spec.n, spec.m
-    qx, ru_cost = cost_gradient(spec, obj, traj)            # [p,N,n], [p,T,m]
-
-    # --- cost gradients ----------------------------------------------------
-    rx = jnp.transpose(qx[:, 1:], (1, 0, 2))                # [T, p, n]
-    owner = owner_map_u(spec)
-    ru = ru_cost[owner, :, np.arange(m)].T                  # [T, m]
-
-    # --- dynamics-dual terms ----------------------------------------------
-    A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
-    # rx[t, i] += A_{t+1}^T lam_{i,t+1}  (t = 0..T-2)
-    AtL = jnp.einsum('tab,pta->ptb', A[1:], traj.lam[:, 1:])   # [p, T-1, n]
-    rx = rx.at[:-1].add(jnp.transpose(AtL, (1, 0, 2)))
-    # rx[t, i] += -lam_{i,t}
-    rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
-    # ru[t, pu_i] += (B_t[:, pu_i])^T lam_{i,t}  -> full: B^T lam_owner per col
-    BtL = jnp.einsum('tab,pta->ptb', B, traj.lam)           # [p, T, m]
-    ru = ru + BtL[owner, :, np.arange(m)].T
-
-    # --- constraint AL gradients ------------------------------------------
-    for blk in gc.state_blocks:
-        grad, _ = gcm.al_expansion(blk, traj)               # [T, n]
-        rx = rx.at[:, blk.owner].add(grad)
-    for blk in gc.control_blocks:
-        grad, _ = gcm.al_expansion(blk, traj)               # [T, m]
-        ru = ru + grad                                      # pu partitions cols
-
-    # --- regularization ----------------------------------------------------
+    pd = point_data(model, spec, obj, gc, traj)
+    res = residual_from_point(spec, gc, pd)
     if traj_ref is not None:
-        rx = rx + reg * (traj.x[1:] - traj_ref.x[1:])[:, None, :]
-        ru = ru + reg * (traj.u - traj_ref.u)
-
-    # --- dynamics rows ------------------------------------------------------
-    rd = dynamics_residual(model, spec, traj)
-    return Residual(rx=rx, ru=ru, rd=rd)
+        res = Residual(
+            rx=res.rx + reg * (traj.x[1:] - traj_ref.x[1:])[:, None, :],
+            ru=res.ru + reg * (traj.u - traj_ref.u),
+            rd=res.rd)
+    return res
 
 
 def residual_norm(spec: ProblemSpec, res: Residual) -> jnp.ndarray:
@@ -153,28 +154,32 @@ def jacobian_blocks(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     Qx, Ru = cost_hessian(spec, obj, traj)                  # [p,N,n,n],[p,T,m,m]
 
     Qblk = jnp.transpose(Qx[:, 1:], (1, 0, 2, 3))           # [T, p, n, n]
-    # Control Hessian: owner-sliced sub-blocks [pu_i, pu_i] of player i's Ru.
+    # Control Hessian: owner-sliced sub-blocks [pu_i, pu_i] of player i's Ru,
+    # embedded by static owner masks (no strided scatters).
+    owner = owner_map_u(spec)
+    same = jnp.asarray(_same_owner_mask(spec), dtype)
     Ublk = jnp.zeros((T, m, m), dtype)
     for i in range(p):
-        pu = np.asarray(spec.pu[i])
-        Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
-            Ru[i][:, pu[:, None], pu[None, :]])
+        mask_i = jnp.asarray(np.outer(owner == i, owner == i)
+                             .astype(np.float64), dtype)
+        Ublk = Ublk + Ru[i] * mask_i
 
     # Constraint AL Hessians.
+    hess_per = [None] * p
     for blk in gc.state_blocks:
         _, hess = gcm.al_expansion(blk, traj)               # [T, n, n]
-        Qblk = Qblk.at[:, blk.owner].add(hess)
+        i = blk.owner
+        hess_per[i] = hess if hess_per[i] is None else hess_per[i] + hess
+    hsum = _owner_select(spec, hess_per, T, (n, n), dtype)
+    if hsum is not None:
+        Qblk = Qblk + hsum
     for blk in gc.control_blocks:
         _, hess = gcm.al_expansion(blk, traj)               # [T, m, m]
-        for i in range(p):
-            pu = np.asarray(spec.pu[i])
-            Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
-                hess[:, pu[:, None], pu[None, :]])
+        Ublk = Ublk + hess * same
 
     # Tikhonov regularization on primal diagonals.
-    diag_n, diag_m = np.arange(n), np.arange(m)
-    Qblk = Qblk.at[:, :, diag_n, diag_n].add(reg_x)
-    Ublk = Ublk.at[:, diag_m, diag_m].add(reg_u)
+    Qblk = Qblk + reg_x * jnp.eye(n, dtype=dtype)
+    Ublk = Ublk + reg_u * jnp.eye(m, dtype=dtype)
 
     A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
     return JacBlocks(Qblk=Qblk, Ublk=Ublk, A=A, B=B)
@@ -200,12 +205,18 @@ def build_tridiagonal(spec: ProblemSpec, jb: JacBlocks):
     # statu rows
     ru0 = p * n
     D = D.at[:, ru0:ru0 + m, n:n + m].set(jb.Ublk)
-    for i in range(p):
-        pu = np.asarray(spec.pu[i])
-        c0 = n + m + i * n
-        # rows pu_i of statu, cols lam_i: B_t[:, pu_i]^T
-        D = D.at[:, ru0 + pu, c0:c0 + n].set(
-            jnp.transpose(jb.B[:, :, pu], (0, 2, 1)))
+    # rows pu_i of statu, cols lam_i: B_t[:, pu_i]^T — one contiguous set of
+    # the block-diagonal embed (static permutation, no strided scatter).
+    pu_stk = np.stack([np.asarray(spec.pu[i]) for i in range(p)])
+    perm = pu_stk.reshape(-1)
+    inv = np.argsort(perm)
+    mi = pu_stk.shape[1]
+    BpT = jnp.transpose(jb.B[:, :, perm].reshape(T, n, p, mi),
+                        (0, 2, 3, 1))                       # [T, p, mi, n]
+    eye_p = jnp.asarray(np.eye(p), dtype)
+    bd = (BpT[:, :, :, None, :]
+          * eye_p[None, :, None, :, None]).reshape(T, m, p * n)[:, inv]
+    D = D.at[:, ru0:ru0 + m, n + m:].set(bd)
     # dyn rows
     rd0 = p * n + m
     D = D.at[:, rd0:rd0 + n, 0:n].add(-eye_n)
@@ -244,56 +255,11 @@ def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     solver calls it).
     Returns (Residual, JacBlocks, sta_vio_max, con_vio_max) — the
     constraint-violation maxima fall out of the same block evaluations.
+    Implemented as ``point_data`` + ``assemble_from_point``, the same code
+    path the solver's carried-point iterations use.
     """
-    T, p, n, m = spec.T, spec.p, spec.n, spec.m
-    dtype = traj.x.dtype
-
-    qx, ru_cost = cost_gradient(spec, obj, traj)
-    Qx, Ru = cost_hessian(spec, obj, traj)
-    A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
-
-    # --- residual ---------------------------------------------------------
-    rx = jnp.transpose(qx[:, 1:], (1, 0, 2))
-    owner = owner_map_u(spec)
-    ru = ru_cost[owner, :, np.arange(m)].T
-    AtL = jnp.einsum('tab,pta->ptb', A[1:], traj.lam[:, 1:])
-    rx = rx.at[:-1].add(jnp.transpose(AtL, (1, 0, 2)))
-    rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
-    BtL = jnp.einsum('tab,pta->ptb', B, traj.lam)
-    ru = ru + BtL[owner, :, np.arange(m)].T
-
-    # --- jacobian ingredients --------------------------------------------
-    Qblk = jnp.transpose(Qx[:, 1:], (1, 0, 2, 3))
-    Ublk = jnp.zeros((T, m, m), dtype)
-    for i in range(p):
-        pu = np.asarray(spec.pu[i])
-        Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
-            Ru[i][:, pu[:, None], pu[None, :]])
-
-    # --- constraints: one expansion for residual, Jacobian AND violations -
-    sta_v = jnp.zeros((), dtype)
-    con_v = jnp.zeros((), dtype)
-    for blk in gc.state_blocks:
-        grad, hess, c = gcm.al_expansion_full(blk, traj)
-        rx = rx.at[:, blk.owner].add(grad)
-        Qblk = Qblk.at[:, blk.owner].add(hess)
-        sta_v = jnp.maximum(sta_v, gcm.block_violation_max(blk, c))
-    for blk in gc.control_blocks:
-        grad, hess, c = gcm.al_expansion_full(blk, traj)
-        ru = ru + grad
-        for i in range(p):
-            pu = np.asarray(spec.pu[i])
-            Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
-                hess[:, pu[:, None], pu[None, :]])
-        con_v = jnp.maximum(con_v, gcm.block_violation_max(blk, c))
-
-    diag_n, diag_m = np.arange(n), np.arange(m)
-    Qblk = Qblk.at[:, :, diag_n, diag_n].add(reg)
-    Ublk = Ublk.at[:, diag_m, diag_m].add(reg)
-
-    rd = dynamics_residual(model, spec, traj)
-    return (Residual(rx=rx, ru=ru, rd=rd),
-            JacBlocks(Qblk=Qblk, Ublk=Ublk, A=A, B=B), sta_v, con_v)
+    pd = point_data(model, spec, obj, gc, traj)
+    return assemble_from_point(spec, obj, gc, traj, pd, reg=reg)
 
 
 # --------------------------------------------------------------------------
@@ -368,14 +334,25 @@ def _irho(blk: gcm.ConBlock, c: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((c >= 0.0) | (blk.lam > 0.0), blk.mu, 0.0)
 
 
+def _state_grad_sum(spec: ProblemSpec, gc, pd, dtype):
+    """Per-player sums of state-constraint AL gradients, stacked [T, p, n]
+    (None if there are no state blocks)."""
+    per = [None] * spec.p
+    for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
+        g = jnp.einsum('kcd,kc->kd', J, blk.lam + _irho(blk, c) * c)
+        per[blk.owner] = g if per[blk.owner] is None else per[blk.owner] + g
+    return _owner_select(spec, per, pd.rd.shape[0], (spec.n,), dtype)
+
+
 def residual_from_point(spec: ProblemSpec, gc: gcm.GameConstraints,
                         pd: PointData) -> Residual:
     """Rebuild the full residual from PointData under the CURRENT AL state
-    (bitwise-identical to :func:`residual` at the same point)."""
+    (same math as :func:`residual`; per-player constraint gradients are
+    summed then added in one op instead of per-block scatters)."""
     rx, ru = pd.rx0, pd.ru0
-    for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
-        grad = jnp.einsum('kcd,kc->kd', J, blk.lam + _irho(blk, c) * c)
-        rx = rx.at[:, blk.owner].add(grad)
+    gsum = _state_grad_sum(spec, gc, pd, rx.dtype)
+    if gsum is not None:
+        rx = rx + gsum
     for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
         ru = ru + jnp.einsum('kcd,kc->kd', J, blk.lam + _irho(blk, c) * c)
     return Residual(rx=rx, ru=ru, rd=pd.rd)
@@ -387,42 +364,54 @@ def assemble_from_point(spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     """Rebuild what :func:`assemble` produces — (Residual, JacBlocks,
     sta_vio_max, con_vio_max) — from carried PointData: only the cost
     Hessians and the AL contractions with the current (lam, mu) are
-    recomputed.  Bitwise-identical to :func:`assemble` at the same point."""
+    recomputed.  All owner embeddings are mask-multiplies / stacked adds —
+    no strided scatters (see ``_same_owner_mask``)."""
     T, p, n, m = spec.T, spec.p, spec.n, spec.m
     dtype = traj.x.dtype
     Qx, Ru = cost_hessian(spec, obj, traj)
 
     rx, ru = pd.rx0, pd.ru0
     Qblk = jnp.transpose(Qx[:, 1:], (1, 0, 2, 3))
+    same = jnp.asarray(_same_owner_mask(spec), dtype)        # [m, m] 0/1
+    owner = owner_map_u(spec)
     Ublk = jnp.zeros((T, m, m), dtype)
     for i in range(p):
-        pu = np.asarray(spec.pu[i])
-        Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
-            Ru[i][:, pu[:, None], pu[None, :]])
+        mask_i = jnp.asarray(np.outer(owner == i, owner == i)
+                             .astype(np.float64), dtype)
+        Ublk = Ublk + Ru[i] * mask_i
 
     sta_v = jnp.zeros((), dtype)
     con_v = jnp.zeros((), dtype)
+    grad_per = [None] * p
+    hess_per = [None] * p
     for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
         irho = _irho(blk, c)
         grad = jnp.einsum('kcd,kc->kd', J, blk.lam + irho * c)
         hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
-        rx = rx.at[:, blk.owner].add(grad)
-        Qblk = Qblk.at[:, blk.owner].add(hess)
+        i = blk.owner
+        grad_per[i] = grad if grad_per[i] is None else grad_per[i] + grad
+        hess_per[i] = hess if hess_per[i] is None else hess_per[i] + hess
         sta_v = jnp.maximum(sta_v, gcm.block_violation_max(blk, c))
+    gsum = _owner_select(spec, grad_per, T, (n,), dtype)
+    if gsum is not None:
+        rx = rx + gsum
+    hsum = _owner_select(spec, hess_per, T, (n, n), dtype)
+    if hsum is not None:
+        Qblk = Qblk + hsum
     for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
         irho = _irho(blk, c)
         grad = jnp.einsum('kcd,kc->kd', J, blk.lam + irho * c)
         hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
         ru = ru + grad
-        for i in range(p):
-            pu = np.asarray(spec.pu[i])
-            Ublk = Ublk.at[:, pu[:, None], pu[None, :]].add(
-                hess[:, pu[:, None], pu[None, :]])
+        # Only same-owner entries couple (per-player pu slices in the
+        # reference, constraint_derivatives.jl:60-69): one mask multiply.
+        Ublk = Ublk + hess * same
         con_v = jnp.maximum(con_v, gcm.block_violation_max(blk, c))
 
-    diag_n, diag_m = np.arange(n), np.arange(m)
-    Qblk = Qblk.at[:, :, diag_n, diag_n].add(reg)
-    Ublk = Ublk.at[:, diag_m, diag_m].add(reg)
+    eye_n = jnp.eye(n, dtype=dtype)
+    eye_m = jnp.eye(m, dtype=dtype)
+    Qblk = Qblk + reg * eye_n
+    Ublk = Ublk + reg * eye_m
     return (Residual(rx=rx, ru=ru, rd=pd.rd),
             JacBlocks(Qblk=Qblk, Ublk=Ublk, A=pd.A, B=pd.B), sta_v, con_v)
 
