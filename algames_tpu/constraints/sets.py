@@ -358,8 +358,15 @@ def al_expansion_full(block: ConBlock, traj):
         irho = block.mu                              # always penalized
     else:
         irho = jnp.where((c >= 0.0) | (block.lam > 0.0), block.mu, 0.0)
-    grad = jnp.einsum('kcd,kc->kd', J, block.lam + irho * c)
-    hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
+    w = block.lam + irho * c
+    if J.shape[1] == 1:
+        # Single-row constraints (collision/circle): elementwise outer
+        # products on the VPU — a C=1 dot costs MXU layout copies.
+        grad = J[:, 0, :] * w[:, 0, None]
+        hess = (J[:, 0, :, None] * J[:, 0, None, :]) * irho[:, 0, None, None]
+    else:
+        grad = jnp.einsum('kcd,kc->kd', J, w)
+        hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
     return grad, hess, c
 
 

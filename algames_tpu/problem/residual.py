@@ -334,12 +334,27 @@ def _irho(blk: gcm.ConBlock, c: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((c >= 0.0) | (blk.lam > 0.0), blk.mu, 0.0)
 
 
+def _al_grad(J, w):
+    """J'w per knot; single-row constraints (collision/circle) as an
+    elementwise product — a C=1 dot otherwise costs MXU layout copies."""
+    if J.shape[1] == 1:
+        return J[:, 0, :] * w[:, 0, None]
+    return jnp.einsum('kcd,kc->kd', J, w)
+
+
+def _al_hess(J, irho):
+    """J' diag(irho) J per knot; C=1 as an outer product on the VPU."""
+    if J.shape[1] == 1:
+        return (J[:, 0, :, None] * J[:, 0, None, :]) * irho[:, 0, None, None]
+    return jnp.einsum('kcd,kc,kce->kde', J, irho, J)
+
+
 def _state_grad_sum(spec: ProblemSpec, gc, pd, dtype):
     """Per-player sums of state-constraint AL gradients, stacked [T, p, n]
     (None if there are no state blocks)."""
     per = [None] * spec.p
     for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
-        g = jnp.einsum('kcd,kc->kd', J, blk.lam + _irho(blk, c) * c)
+        g = _al_grad(J, blk.lam + _irho(blk, c) * c)
         per[blk.owner] = g if per[blk.owner] is None else per[blk.owner] + g
     return _owner_select(spec, per, pd.rd.shape[0], (spec.n,), dtype)
 
@@ -354,7 +369,7 @@ def residual_from_point(spec: ProblemSpec, gc: gcm.GameConstraints,
     if gsum is not None:
         rx = rx + gsum
     for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
-        ru = ru + jnp.einsum('kcd,kc->kd', J, blk.lam + _irho(blk, c) * c)
+        ru = ru + _al_grad(J, blk.lam + _irho(blk, c) * c)
     return Residual(rx=rx, ru=ru, rd=pd.rd)
 
 
@@ -386,8 +401,8 @@ def assemble_from_point(spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     hess_per = [None] * p
     for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
         irho = _irho(blk, c)
-        grad = jnp.einsum('kcd,kc->kd', J, blk.lam + irho * c)
-        hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
+        grad = _al_grad(J, blk.lam + irho * c)
+        hess = _al_hess(J, irho)
         i = blk.owner
         grad_per[i] = grad if grad_per[i] is None else grad_per[i] + grad
         hess_per[i] = hess if hess_per[i] is None else hess_per[i] + hess
@@ -400,8 +415,8 @@ def assemble_from_point(spec: ProblemSpec, obj, gc: gcm.GameConstraints,
         Qblk = Qblk + hsum
     for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
         irho = _irho(blk, c)
-        grad = jnp.einsum('kcd,kc->kd', J, blk.lam + irho * c)
-        hess = jnp.einsum('kcd,kc,kce->kde', J, irho, J)
+        grad = _al_grad(J, blk.lam + irho * c)
+        hess = _al_hess(J, irho)
         ru = ru + grad
         # Only same-owner entries couple (per-player pu slices in the
         # reference, constraint_derivatives.jl:60-69): one mask multiply.

@@ -73,3 +73,33 @@ def test_phase_profile_runs():
     f = jax.jit(lambda: jnp.sum(jnp.ones((64, 64))))
     res = phase_profile({"sum": f}, reps=3)
     assert res["sum"] >= 0.0
+
+
+def test_quadrotor_mesh_obj(tmp_path):
+    """Procedural quadrotor mesh: watertight indices, valid OBJ output
+    (replaces the reference's static src/mesh/quadrotor assets)."""
+    import numpy as np
+    from algames_tpu.plots.mesh import quadrotor_mesh, write_obj
+
+    v, f = quadrotor_mesh()
+    assert v.ndim == 2 and v.shape[1] == 3
+    assert f.min() == 0 and f.max() == len(v) - 1
+    path = write_obj(str(tmp_path / "quad.obj"))
+    lines = open(path).read().splitlines()
+    nv = sum(1 for l in lines if l.startswith("v "))
+    nf = sum(1 for l in lines if l.startswith("f "))
+    assert nv == len(v) and nf == len(f)
+    # OBJ faces are 1-based
+    first_face = next(l for l in lines if l.startswith("f "))
+    assert min(int(t) for t in first_face.split()[1:]) >= 1
+
+
+def test_regularizer_penalty_shims():
+    import algames_tpu as ag
+
+    r = ag.Regularizer().set(2.0)
+    assert r.x == r.u == r.lam == 2.0
+    r = r.mult(3.0)
+    assert r.x == 6.0
+    pen = ag.Penalty(rho=5.0)
+    assert pen.rho == 5.0 and pen.rho_trial == 1.0
