@@ -8,10 +8,22 @@ Newton step's block-tridiagonal factorization DISTRIBUTED over the horizon
 devices exchange only slab-boundary blocks, and wall-clock for the dominant
 sweep scales ~1/devices.
 
-Run on CPU with 8 virtual devices (tests/conftest defaults) or any real
-multi-chip mesh.
+Run on CPU with 8 virtual devices (default) or any real multi-chip mesh
+(PLATFORM=tpu).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import jax
+
+if os.environ.get("PLATFORM", "cpu") == "cpu":
+    os.environ.setdefault("XLA_FLAGS",
+                          "--xla_force_host_platform_device_count=8")
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
