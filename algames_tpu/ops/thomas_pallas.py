@@ -176,7 +176,9 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
                             axis=1)
     Bp = Bm[:, :, :, pu.reshape(-1)].reshape(B, T, n, p, -1)
     Bp = jnp.transpose(Bp, (0, 1, 3, 2, 4))                    # [B,T,p,n,mi]
-    BtQ_p = jnp.einsum('btpnk,btpnq->btpkq', Bp, Qb)
+    # Contractions over the small state dim n as elementwise VPU reduces:
+    # einsum dots here lower to bf16 MXU matmuls + layout-change copies.
+    BtQ_p = jnp.sum(Bp[..., None] * Qb[:, :, :, :, None, :], axis=3)
     # Row embeddings by STATIC permutation gather (scatter .at[pu].set is a
     # pathologically slow partial-tile VMEM write on TPU — it dominated the
     # round-1 device profile at ~66% of solve time).
@@ -194,13 +196,14 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
     a_all = b_knots[:, :, :pn]
     c_all = b_knots[:, :, pn:pn + m]
     d_all = b_knots[:, :, pn + m:]
-    cG_p = jnp.einsum('btpnk,btnq->btpkq', Bp, AsupT)          # [B,T,p,mi,n]
+    cG_p = jnp.sum(Bp[..., None] * AsupT[:, :, None, :, None, :],
+                   axis=3)                                       # [B,T,p,mi,n]
     # Block-diagonal embed via identity mask, then the same row permutation.
     cG_bd = (cG_p[:, :, :, :, None, :]
              * eye_p[None, None, :, None, :, None])           # [B,T,p,mi,p,n]
     cG = cG_bd.reshape(B, T, m, pn)[:, :, inv, :]
-    cy_add = jnp.einsum('btpnk,btpn->btpk', Bp,
-                        a_all.reshape(B, T, p, n))            # [B,T,p,mi]
+    cy_add = jnp.sum(Bp * a_all.reshape(B, T, p, n)[..., None],
+                     axis=3)                                  # [B,T,p,mi]
     cy = c_all + cy_add.reshape(B, T, m)[:, :, inv]
     Rt = jnp.concatenate([cG, cy[..., None]], axis=3)          # [B,T,m,R]
 

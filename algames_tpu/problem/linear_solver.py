@@ -220,7 +220,8 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     perm = pu.reshape(-1)
     inv = np.argsort(perm)
     Q_all = jb.Qblk                                      # [T, p, n, n]
-    BtQ_p = jnp.einsum('tpnk,tpnq->tpkq', Bp_all, Q_all)  # [T, p, mi, n]
+    BtQ_p = jnp.sum(Bp_all[..., None] * Q_all[:, :, :, None, :],
+                    axis=2)                              # [T, p, mi, n]
     BtQ = BtQ_p.reshape(T, m, n)[:, inv, :]
     Kbase = jnp.concatenate([
         jnp.concatenate([BtQ, jb.Ublk], axis=2),
@@ -230,12 +231,13 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     a_all = b_knots[:, :pn].reshape(T, p, n)             # statx RHS blocks
     c_all = b_knots[:, pn:pn + m]
     d_all = b_knots[:, pn + m:]
-    cG_p = jnp.einsum('tpnk,tnq->tpkq', Bp_all, AsupT)   # [T, p, mi, n]
+    cG_p = jnp.sum(Bp_all[..., None] * AsupT[:, None, :, None, :],
+                   axis=2)                             # [T, p, mi, n]
     eye_p = jnp.asarray(np.eye(p), dtype)
     cG_bd = (cG_p[:, :, :, None, :]
              * eye_p[None, :, None, :, None])            # [T, p, mi, p, n]
     cG = cG_bd.reshape(T, m, pn)[:, inv, :]
-    cy_add = jnp.einsum('tpnk,tpn->tpk', Bp_all, a_all)  # [T, p, mi]
+    cy_add = jnp.sum(Bp_all * a_all[..., None], axis=2)  # [T, p, mi]
     cy = c_all + cy_add.reshape(T, m)[:, inv]
     RHS_top = jnp.concatenate([cG, cy[:, :, None]], axis=2)  # [T, m, pn+1]
 

@@ -307,20 +307,22 @@ def point_data(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     rx = jnp.transpose(qx[:, 1:], (1, 0, 2))
     owner = owner_map_u(spec)
     ru = ru_cost[owner, :, np.arange(m)].T
-    AtL = jnp.einsum('tab,pta->ptb', A[1:], traj.lam[:, 1:])
+    # Contractions over the small state dim as elementwise VPU reduces —
+    # einsum dots here cost bf16 MXU conversions + layout copies (profiled).
+    AtL = jnp.sum(A[None, 1:] * traj.lam[:, 1:, :, None], axis=2)  # [p,T-1,n]
     rx = rx.at[:-1].add(jnp.transpose(AtL, (1, 0, 2)))
     rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
-    BtL = jnp.einsum('tab,pta->ptb', B, traj.lam)
+    BtL = jnp.sum(B[None] * traj.lam[:, :, :, None], axis=2)       # [p,T,m]
     ru = ru + BtL[owner, :, np.arange(m)].T
 
     state_c, state_J = [], []
     for blk in gc.state_blocks:
         state_c.append(gcm.block_values(blk, traj))
-        state_J.append(gcm.block_jacobian(blk, traj))
+        state_J.append(_blk_jacobian_for_carry(blk, traj))
     control_c, control_J = [], []
     for blk in gc.control_blocks:
         control_c.append(gcm.block_values(blk, traj))
-        control_J.append(gcm.block_jacobian(blk, traj))
+        control_J.append(_blk_jacobian_for_carry(blk, traj))
 
     rd = dynamics_residual(model, spec, traj)
     return PointData(rx0=rx, ru0=ru, rd=rd, A=A, B=B,
@@ -334,19 +336,48 @@ def _irho(blk: gcm.ConBlock, c: jnp.ndarray) -> jnp.ndarray:
     return jnp.where((c >= 0.0) | (blk.lam > 0.0), blk.mu, 0.0)
 
 
-def _al_grad(J, w):
-    """J'w per knot; single-row constraints (collision/circle) as an
-    elementwise product — a C=1 dot otherwise costs MXU layout copies."""
+def _al_grad(blk, J, w):
+    """J'w per knot, shaped to the block's structure:
+
+    * bounds: J is the constant ``[+I; -I] * mask`` — closed form, no J
+      needed (``w_up * m - w_lo * m``);
+    * single-row constraints (collision/circle): elementwise product;
+    * general: einsum (a C=1/structured dot otherwise costs MXU layout
+      copies — they dominated the round-2 device profile).
+    """
+    from ..constraints import kernels as _k
+    if isinstance(blk.params, _k.BoundParams):
+        dim = blk.params.z_max.shape[0]
+        m = np.asarray(blk.params.mask, np.float64)
+        mu_, ml_ = jnp.asarray(m[:dim], w.dtype), jnp.asarray(m[dim:], w.dtype)
+        return w[:, :dim] * mu_ - w[:, dim:] * ml_
     if J.shape[1] == 1:
         return J[:, 0, :] * w[:, 0, None]
     return jnp.einsum('kcd,kc->kd', J, w)
 
 
-def _al_hess(J, irho):
-    """J' diag(irho) J per knot; C=1 as an outer product on the VPU."""
+def _al_hess(blk, J, irho):
+    """J' diag(irho) J per knot (same structure dispatch as _al_grad)."""
+    from ..constraints import kernels as _k
+    if isinstance(blk.params, _k.BoundParams):
+        dim = blk.params.z_max.shape[0]
+        m = np.asarray(blk.params.mask, np.float64)
+        mu_ = jnp.asarray(m[:dim], irho.dtype)
+        ml_ = jnp.asarray(m[dim:], irho.dtype)
+        d = irho[:, :dim] * mu_ + irho[:, dim:] * ml_       # [K, dim]
+        return d[:, :, None] * jnp.eye(dim, dtype=irho.dtype)
     if J.shape[1] == 1:
         return (J[:, 0, :, None] * J[:, 0, None, :]) * irho[:, 0, None, None]
     return jnp.einsum('kcd,kc,kce->kde', J, irho, J)
+
+
+def _blk_jacobian_for_carry(blk, traj):
+    """Constraint Jacobian to store in PointData — empty for bound blocks
+    (their J is a static constant the closed forms never read)."""
+    from ..constraints import kernels as _k
+    if isinstance(blk.params, _k.BoundParams):
+        return jnp.zeros((0,), traj.x.dtype)
+    return gcm.block_jacobian(blk, traj)
 
 
 def _state_grad_sum(spec: ProblemSpec, gc, pd, dtype):
@@ -354,7 +385,7 @@ def _state_grad_sum(spec: ProblemSpec, gc, pd, dtype):
     (None if there are no state blocks)."""
     per = [None] * spec.p
     for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
-        g = _al_grad(J, blk.lam + _irho(blk, c) * c)
+        g = _al_grad(blk, J, blk.lam + _irho(blk, c) * c)
         per[blk.owner] = g if per[blk.owner] is None else per[blk.owner] + g
     return _owner_select(spec, per, pd.rd.shape[0], (spec.n,), dtype)
 
@@ -369,7 +400,7 @@ def residual_from_point(spec: ProblemSpec, gc: gcm.GameConstraints,
     if gsum is not None:
         rx = rx + gsum
     for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
-        ru = ru + _al_grad(J, blk.lam + _irho(blk, c) * c)
+        ru = ru + _al_grad(blk, J, blk.lam + _irho(blk, c) * c)
     return Residual(rx=rx, ru=ru, rd=pd.rd)
 
 
@@ -401,8 +432,8 @@ def assemble_from_point(spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     hess_per = [None] * p
     for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
         irho = _irho(blk, c)
-        grad = _al_grad(J, blk.lam + irho * c)
-        hess = _al_hess(J, irho)
+        grad = _al_grad(blk, J, blk.lam + irho * c)
+        hess = _al_hess(blk, J, irho)
         i = blk.owner
         grad_per[i] = grad if grad_per[i] is None else grad_per[i] + grad
         hess_per[i] = hess if hess_per[i] is None else hess_per[i] + hess
@@ -415,8 +446,8 @@ def assemble_from_point(spec: ProblemSpec, obj, gc: gcm.GameConstraints,
         Qblk = Qblk + hsum
     for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
         irho = _irho(blk, c)
-        grad = _al_grad(J, blk.lam + irho * c)
-        hess = _al_hess(J, irho)
+        grad = _al_grad(blk, J, blk.lam + irho * c)
+        hess = _al_hess(blk, J, irho)
         ru = ru + grad
         # Only same-owner entries couple (per-player pu slices in the
         # reference, constraint_derivatives.jl:60-69): one mask multiply.
