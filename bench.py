@@ -36,13 +36,16 @@ def main():
     # per-lane once the 1e-3 violation gates pass (same gates as reference).
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
 
-    # Batch 128 = one Pallas lane tile; larger batches pay a superlinear
+    # Batch 128 = one Pallas lane tile; larger per-dispatch batches pay a
     # straggler penalty (the vmapped while_loop runs max-over-lanes trips).
     # Steady-state throughput = C independent chunks enqueued back-to-back
     # (async dispatch), blocked once — each chunk pays only its own
-    # max-iteration count.
+    # max-iteration count, and the pipeline depth hides per-dispatch
+    # latency.  32 x 128 = 4096 scenarios per rep, the BASELINE Monte-Carlo
+    # config; throughput plateaus there (~82% of the pure device-self-time
+    # bound).
     batch = int(os.environ.get("BENCH_BATCH", "128"))
-    chunks = int(os.environ.get("BENCH_CHUNKS", "4"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "32"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     key = jax.random.PRNGKey(0)
     x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
