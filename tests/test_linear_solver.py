@@ -180,3 +180,37 @@ def test_batched_vmap_solve():
     for i in range(batch):
         yi = solve_tridiagonal(spec, Db[i], U, L, bb[i])
         np.testing.assert_allclose(np.asarray(ys[i]), np.asarray(yi), rtol=1e-10)
+
+
+def test_pallas_thomas_interpret_quadrotor_shapes():
+    """Kernel generality at the quadrotor block sizes (n=24, mi=4, W=80 for
+    p=2): the fused Pallas sweep must match the pivoted Schur path at shapes
+    far from the 3-player-unicycle flagship."""
+    from algames_tpu.ops.thomas_pallas import solve_thomas_pallas
+
+    p = 2
+    model = ag.quadrotor_game(p=p)
+    spec = ag.spec_from_model(model, 5, 0.05)
+    ni = spec.n // p
+    mi = spec.m // p
+    obj = ag.game_objective(spec, [jnp.ones(ni)] * p,
+                            [0.5 * jnp.ones(mi)] * p,
+                            [jnp.zeros(ni)] * p, [jnp.zeros(mi)] * p,
+                            dtype=jnp.float64)
+    gc = ag.game_constraints(spec)
+    B = 2
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    trajs = ag.PrimalDual(
+        x=0.1 * jax.random.normal(ks[0], (B, spec.N, spec.n), jnp.float64),
+        u=0.1 * jax.random.normal(ks[1], (B, spec.T, spec.m), jnp.float64),
+        lam=0.1 * jax.random.normal(ks[2], (B, p, spec.T, spec.n),
+                                    jnp.float64))
+    res, jbs, _, _ = jax.vmap(
+        lambda tr: R.assemble(model, spec, obj, gc, tr, 1e-3))(trajs)
+    b = jax.vmap(lambda r: R.residual_knot_blocks(spec, r))(res)
+    y_ref = jax.vmap(lambda jb, bb: solve_tridiagonal_schur(spec, jb, bb))(
+        jbs, b)
+    y_pal = solve_thomas_pallas(spec, jbs, b, block_lanes=2, interpret=True)
+    scale = float(jnp.max(jnp.abs(y_ref)))
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               atol=1e-7 * max(scale, 1.0), rtol=1e-6)
