@@ -7,22 +7,13 @@ the MXU in every block solve.
 """
 from __future__ import annotations
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
 
 from ..problem.problem import GameProblem
 from ..problem.solver import newton_solve
-
-
-def batched_problem(prob: GameProblem, x0s: jnp.ndarray) -> GameProblem:
-    """Broadcast a problem over a batch of initial states [B, n].
-
-    The objective/constraint pytrees are tiled lazily by vmap (in_axes=0 on
-    x0 only) — no data duplication in HBM.
-    """
-    return prob, x0s
 
 
 def solve_batch(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",

@@ -94,12 +94,18 @@ def record(stats: Statistics, active, outer, res, delta, alpha,
     """Append one record when ``active`` (mask for batched/while-loop use).
 
     One fused row scatter — the solver calls this inside its hot loop.
+
+    At capacity the LAST row keeps being overwritten and ``iter`` saturates
+    at capacity: out-of-bounds scatters would silently drop writes while
+    clamped gathers re-read a stale row, so long runs (IBR with ibr_iter=100)
+    would report a final record that was never the latest iteration.
     """
-    i = stats.iter
+    cap = stats.data.shape[-2]
+    i = jnp.minimum(stats.iter, cap - 1)
     row = jnp.stack([jnp.asarray(v, stats.data.dtype) for v in
                      (res, delta, alpha, dyn_vio, con_vio, sta_vio, opt_vio)])
     return Statistics(
-        iter=jnp.where(active, i + 1, i),
+        iter=jnp.where(active, jnp.minimum(stats.iter + 1, cap), stats.iter),
         outer=jnp.where(active, stats.outer.at[i].set(outer), stats.outer),
         data=jnp.where(active, stats.data.at[i].set(row), stats.data),
     )
