@@ -38,6 +38,7 @@ from .problem.ibr import (ibr_newton_solve, ibr_newton_solve_jit,
                           ibr_newton_solve_player, player_violations)
 from .stats import Statistics
 from .utils import scn
+from . import presets  # noqa: E402  (BASELINE problem configurations)
 from . import parallel  # noqa: E402  (registers ag.parallel.*)
 from . import active_set  # noqa: E402
 from .mpc import MPCResult, mpc_solve, mpc_solve_jit  # noqa: E402

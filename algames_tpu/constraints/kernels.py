@@ -267,7 +267,7 @@ class BoundParams:
     mask: Tuple[bool, ...]            # [2*dim] finite-bound flags
 
 
-def make_bound(z_max, z_min) -> BoundParams:
+def make_bound(z_max, z_min, dtype=jnp.float64) -> BoundParams:
     z_max = np.asarray(z_max, dtype=np.float64)
     z_min = np.asarray(z_min, dtype=np.float64)
     assert np.all(z_max >= z_min), \
@@ -278,7 +278,8 @@ def make_bound(z_max, z_min) -> BoundParams:
     big = 0.0
     zmx = np.where(np.isfinite(z_max), z_max, big)
     zmn = np.where(np.isfinite(z_min), z_min, big)
-    return BoundParams(z_max=jnp.asarray(zmx), z_min=jnp.asarray(zmn), mask=mask)
+    return BoundParams(z_max=jnp.asarray(zmx, dtype),
+                       z_min=jnp.asarray(zmn, dtype), mask=mask)
 
 
 def bound_evaluate(par: BoundParams, zs: jnp.ndarray) -> jnp.ndarray:

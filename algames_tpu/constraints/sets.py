@@ -203,7 +203,7 @@ def add_state_bound(spec: ProblemSpec, gc: GameConstraints, i: int,
     (reference ``constraints_methods.jl:88-100``)."""
     dtype = gc.alpha_dual.dtype
     par = make_bound(_promote_bound(x_max, spec.n),
-                     _promote_bound(x_min, spec.n))
+                     _promote_bound(x_min, spec.n), dtype)
     return _push_state(gc, _new_block(spec, par, i, True, dtype))
 
 
@@ -213,7 +213,7 @@ def add_control_bound(spec: ProblemSpec, gc: GameConstraints,
     (reference ``constraints_methods.jl:106-118``)."""
     dtype = gc.alpha_dual.dtype
     par = make_bound(_promote_bound(u_max, spec.m),
-                     _promote_bound(u_min, spec.m))
+                     _promote_bound(u_min, spec.m), dtype)
     return _push_control(gc, _new_block(spec, par, -1, False, dtype))
 
 
