@@ -15,8 +15,9 @@ from .core.spec import ProblemSpec, spec_from_model
 from .core.traj import (PrimalDual, delta_step, init_traj, pack_traj,
                         reset_duals, unpack_step, update_traj, zero_traj)
 from .models import (BicycleGame, DoubleIntegratorGame, GameModel,
-                     QuadrotorGame, UnicycleGame, bicycle_game,
-                     double_integrator_game, quadrotor_game, rk2_step,
+                     HeteroDoubleIntegratorGame, QuadrotorGame, UnicycleGame,
+                     bicycle_game, double_integrator_game,
+                     hetero_double_integrator_game, quadrotor_game, rk2_step,
                      rk3_step, rollout_rk3, step_jacobians, unicycle_game)
 from .objective import (GameObjective, add_collision_cost, cost_gradient,
                         cost_hessian, expand_vector, game_objective,

@@ -1,10 +1,13 @@
-from .active_set import (NullSpace, active, active_masks, extended_jacobian,
-                         extended_residual, get_collision_block, hcol,
-                         nullspace_basis, ordered_pairs, sizes,
-                         unordered_pairs, update_nullspace, vrow)
+from .active_set import (NullSpace, NullSpaceMasked, active, active_masks,
+                         extended_jacobian, extended_residual,
+                         get_collision_block, hcol, nullspace_basis,
+                         ordered_pairs, pair_active_flags, sizes,
+                         unordered_pairs, update_nullspace,
+                         update_nullspace_masked, vrow)
 
 __all__ = [
-    "NullSpace", "active", "active_masks", "extended_jacobian",
-    "extended_residual", "get_collision_block", "hcol", "nullspace_basis",
-    "ordered_pairs", "sizes", "unordered_pairs", "update_nullspace", "vrow",
+    "NullSpace", "NullSpaceMasked", "active", "active_masks",
+    "extended_jacobian", "extended_residual", "get_collision_block", "hcol",
+    "nullspace_basis", "ordered_pairs", "pair_active_flags", "sizes",
+    "unordered_pairs", "update_nullspace", "update_nullspace_masked", "vrow",
 ]

@@ -67,11 +67,14 @@ def hcol(spec: ProblemSpec, i: int, j: int, k: int) -> int:
 
 def get_collision_block(gc: gcm.GameConstraints, spec: ProblemSpec,
                         i: int, j: int):
-    """Find player i's collision conval against player j
-    (reference ``get_collision_conval``, ``active_set_methods.jl:76-90``)."""
+    """Find player i's collision conval against player j — planar
+    (``add_collision_avoidance``, pxj = px[j]) or spherical
+    (``add_spherical_collision_avoidance``, pxj = pz[j][:3]) (reference
+    ``get_collision_conval``, ``active_set_methods.jl:76-90``)."""
+    j_pos = {tuple(spec.px[j]), tuple(spec.pz[j][:3])}
     for blk in gc.state_blocks:
         if (isinstance(blk.params, CollisionParams) and blk.owner == i
-                and tuple(blk.params.pxj) == tuple(spec.px[j])):
+                and tuple(blk.params.pxj) in j_pos):
             return blk
     return None
 
@@ -167,6 +170,81 @@ def nullspace_basis(M: jnp.ndarray, atol: float = 1e-10) -> jnp.ndarray:
     _, s, Vh = jnp.linalg.svd(M, full_matrices=True)
     rank = int(jnp.sum(s > atol))
     return Vh[rank:].T
+
+
+def pair_active_flags(gc: gcm.GameConstraints, spec: ProblemSpec):
+    """Traced active flags of the appended rows/columns, in ``vrow``/``hcol``
+    order (knot-major, pair-minor).  Returns (v_flags [Sv-S], h_flags [Sh-S])
+    as jnp bool arrays — the jit-compatible replacement for the host-driven
+    ``active_masks``.  Pairs with no collision constraint read inactive."""
+    dtype = jnp.bool_
+
+    def flag(i, j):
+        blk = get_collision_block(gc, spec, i, j)
+        if blk is None:
+            return jnp.zeros((spec.T,), dtype)
+        return blk.active[:, 0].astype(dtype)          # [T], k=1..T
+
+    v = jnp.stack([flag(i, j) for (i, j) in unordered_pairs(spec.p)],
+                  axis=1).reshape(-1)
+    h = jnp.stack([flag(i, j) for (i, j) in ordered_pairs(spec.p)],
+                  axis=1).reshape(-1)
+    return v, h
+
+
+@pytree_dataclass
+class NullSpaceMasked:
+    """Fixed-shape, jit/vmap-compatible nullspace of the active-set extended
+    Jacobian.  ``vec`` rows are ALL Sh right singular vectors (SVD order,
+    kernel last); ``mask`` flags the rows spanning the kernel; ``dim`` is
+    their count (traced scalar).  Rows flagged by ``mask`` are normalized by
+    their mean absolute value, matching the reference's ``NullSpace``
+    convention (``active_set_core.jl:5-45``)."""
+    vec: jnp.ndarray      # [Sh, Sh]
+    mask: jnp.ndarray     # [Sh] bool
+    dim: jnp.ndarray      # scalar int
+    svals: jnp.ndarray    # [Sh] singular values
+
+
+def update_nullspace_masked(prob: GameProblem, traj: PrimalDual,
+                            atol: float = 1e-10) -> NullSpaceMasked:
+    """TPU-first ``update_nullspace``: jits, vmaps, no host sync.
+
+    Instead of gathering the data-dependent active submatrix
+    ``J[vmask, hmask]`` (dynamic shapes — untraceable), build a FIXED-shape
+    system whose kernel is the active submatrix's kernel embedded in Sh:
+
+      * inactive appended rows are zeroed (they impose no constraint);
+      * one pinning row ``e_c`` is appended per appended column c, scaled by
+        ``1 - active(c)`` — forcing inactive-column components to zero while
+        active columns stay free.
+
+    A single SVD then yields the kernel basis and its dimension as a masked
+    fixed-shape result.  Matches the host-driven ``update_nullspace`` (same
+    dimension, same span) — see ``tests/test_active_set.py``.
+    Reference semantics: ``active_set_methods.jl:173-184``.
+    """
+    spec = prob.spec
+    Sv, Sh = sizes(spec)
+    gc = gcm.update_active_set(prob.gc, traj)
+    prob2 = GameProblem(spec=spec, model=prob.model, opts=prob.opts,
+                        x0=prob.x0, obj=prob.obj, gc=gc)
+    J = extended_jacobian(prob2, traj)
+    v_flags, h_flags = pair_active_flags(gc, spec)
+    dtype = J.dtype
+    row_mask = jnp.concatenate(
+        [jnp.ones((spec.S,), dtype), v_flags.astype(dtype)])
+    top = J * row_mask[:, None]
+    pin = jnp.zeros((Sh - spec.S, Sh), dtype).at[
+        jnp.arange(Sh - spec.S), spec.S + jnp.arange(Sh - spec.S)
+    ].set(1.0 - h_flags.astype(dtype))
+    M = jnp.concatenate([top, pin], axis=0)       # [Sv + Sh - S, Sh]
+    _, s, Vh = jnp.linalg.svd(M, full_matrices=False)   # Vh [Sh, Sh]
+    mask = s <= atol
+    norm = jnp.mean(jnp.abs(Vh), axis=1, keepdims=True)
+    norm = jnp.where((norm > 0) & mask[:, None], norm, 1.0)
+    return NullSpaceMasked(vec=Vh / norm, mask=mask,
+                           dim=jnp.sum(mask.astype(jnp.int32)), svals=s)
 
 
 def update_nullspace(prob: GameProblem, traj: PrimalDual,

@@ -156,9 +156,11 @@ class ProblemSpec:
         assert self.p == len(self.ni) == len(self.mi) == len(self.pu) \
             == len(self.px) == len(self.pz)
         assert sum(self.mi) == self.m
-        assert self.homogeneous, (
-            "TPU build assumes homogeneous players (true for all reference "
-            "models: src/dynamics/*.jl)")
+        # Heterogeneous per-player control dims are supported end-to-end via
+        # the mi-agnostic dense/tridiag/cr paths (the reference's NewtonCore
+        # handles per-player mi throughout, src/core/newton_core.jl:40-89);
+        # the player-stacked schur/pallas fast paths require homogeneity and
+        # raise a clear error otherwise.
 
 
 def spec_from_model(model, N: int, dt: float) -> ProblemSpec:

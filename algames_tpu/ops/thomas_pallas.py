@@ -159,6 +159,11 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
     """Drop-in replacement for ``solve_tridiagonal_schur`` as two fused
     Pallas kernels, batched: ``jb`` leaves and ``b_knots`` must carry a
     leading batch axis [B, ...].  Returns [B, S]."""
+    if not spec.homogeneous:
+        raise ValueError(
+            "method='pallas' stacks per-player [p, mi] control tensors and "
+            "requires homogeneous player dimensions; use method='tridiag', "
+            "'cr', or 'dense' for mixed per-player mi/ni")
     T, n, m, p = spec.T, spec.n, spec.m, spec.p
     pn, W, d = p * n, spec.W, spec.n + spec.m
     R = pn + 1

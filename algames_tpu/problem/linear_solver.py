@@ -201,6 +201,11 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     """
     import numpy as np
 
+    if not spec.homogeneous:
+        raise ValueError(
+            "method='schur' stacks per-player [p, mi] control tensors and "
+            "requires homogeneous player dimensions; use method='tridiag', "
+            "'cr', or 'dense' for mixed per-player mi/ni")
     T, n, m, p = spec.T, spec.n, spec.m, spec.p
     pn, W = p * n, spec.W
     dtype = jb.A.dtype

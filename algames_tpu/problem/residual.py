@@ -207,15 +207,16 @@ def build_tridiagonal(spec: ProblemSpec, jb: JacBlocks):
     D = D.at[:, ru0:ru0 + m, n:n + m].set(jb.Ublk)
     # rows pu_i of statu, cols lam_i: B_t[:, pu_i]^T — one contiguous set of
     # the block-diagonal embed (static permutation, no strided scatter).
-    pu_stk = np.stack([np.asarray(spec.pu[i]) for i in range(p)])
-    perm = pu_stk.reshape(-1)
+    # Ragged-safe over per-player mi: rows grouped player-major, each row's
+    # owner selecting its lam block via a static [m, p] mask.
+    perm = np.concatenate([np.asarray(spec.pu[i]) for i in range(p)])
     inv = np.argsort(perm)
-    mi = pu_stk.shape[1]
-    BpT = jnp.transpose(jb.B[:, :, perm].reshape(T, n, p, mi),
-                        (0, 2, 3, 1))                       # [T, p, mi, n]
-    eye_p = jnp.asarray(np.eye(p), dtype)
-    bd = (BpT[:, :, :, None, :]
-          * eye_p[None, :, None, :, None]).reshape(T, m, p * n)[:, inv]
+    owner_rows = np.concatenate(
+        [np.full(len(spec.pu[i]), i) for i in range(p)])
+    BpT = jnp.transpose(jb.B[:, :, perm], (0, 2, 1))        # [T, m, n]
+    sel = jnp.asarray(np.eye(p)[owner_rows], dtype)         # [m, p]
+    bd = (BpT[:, :, None, :]
+          * sel[None, :, :, None]).reshape(T, m, p * n)[:, inv]
     D = D.at[:, ru0:ru0 + m, n + m:].set(bd)
     # dyn rows
     rd0 = p * n + m

@@ -75,8 +75,14 @@ def test_masks_shapes_and_dyn_overlap(spec):
             assert inter == x_cols
 
 
-def test_heterogeneous_players_rejected():
-    with pytest.raises(AssertionError):
-        ag.ProblemSpec(N=5, n=6, m=3, p=2, ni=(4, 2), mi=(2, 1),
-                       pu=((0, 1), (2,)), px=((0, 2), (1, 3)),
-                       pz=((0, 2, 4), (1, 3, 5)), dt=0.1)
+def test_heterogeneous_players_supported():
+    """Mixed per-player dims construct and lay out correctly (reference
+    NewtonCore handles per-player mi, src/core/newton_core.jl:40-89; solver
+    coverage in tests/test_hetero.py)."""
+    sp = ag.ProblemSpec(N=5, n=6, m=3, p=2, ni=(4, 2), mi=(2, 1),
+                        pu=((0, 1), (2,)), px=((0, 2), (1, 3)),
+                        pz=((0, 2, 4), (1, 3, 5)), dt=0.1)
+    assert not sp.homogeneous
+    assert sp.S == sp.T * sp.W
+    # player-1 rows start after ALL of player 0's (n + mi[0]) * T rows
+    assert sp.row_stat_x(1, 0) == (sp.n + sp.mi[0]) * sp.T
