@@ -19,6 +19,7 @@ import numpy as np
 
 from .constraints.sets import (Wall, add_collision_avoidance,
                                add_circle_constraint, add_control_bound,
+                               add_spherical_collision_avoidance,
                                add_state_bound, add_wall_constraint,
                                game_constraints)
 from .core.spec import spec_from_model
@@ -124,6 +125,83 @@ def intro_bicycle(dtype=jnp.float64, outer: int = 7, inner: int = 20,
     return game_problem(N, dt, x0, model, opts, obj, gc), spec
 
 
+def roundabout(dtype=jnp.float64, outer: int = 10, inner: int = 16,
+               eps_opt: float | None = None):
+    """4-player unicycle roundabout, N=40 — BASELINE config 4
+    (``examples/roundabout_example.py``): central island circle constraint,
+    pairwise collision constraints + smooth collision cost, velocity and
+    control bounds, staggered entry speeds."""
+    from .constraints.sets import add_velocity_bound
+    p, N, dt = 4, 40, 0.1
+    model = unicycle_game(p=p)
+    spec = spec_from_model(model, N, dt)
+    starts = np.array([[-1.5, 0.0], [1.5, 0.0], [0.0, -1.5], [0.0, 1.5]])
+    order = [3, 2, 0, 1]
+    goals = np.array([-starts[order[i]] for i in range(p)])
+    headings = np.arctan2(-starts[:, 1], -starts[:, 0])
+    obj = game_objective(
+        spec,
+        Q=[jnp.asarray([5.0, 5.0, 0.2, 0.2], dtype)] * p,
+        R=[0.1 * jnp.ones(2, dtype)] * p,
+        xf=[jnp.asarray([goals[i, 0], goals[i, 1], headings[i], 0.3], dtype)
+            for i in range(p)],
+        uf=[jnp.zeros(2, dtype)] * p, dtype=dtype)
+    obj = add_collision_cost(spec, obj, radius=0.4 * jnp.ones(p, dtype),
+                             mu=5.0 * jnp.ones(p, dtype))
+    gc = game_constraints(spec, dtype=dtype)
+    gc = add_collision_avoidance(spec, gc, 0.08)
+    gc = add_circle_constraint(spec, gc, jnp.asarray([0.0]),
+                               jnp.asarray([0.0]), jnp.asarray([0.3]))
+    gc = add_velocity_bound(spec, model, gc, 1.5 * np.ones(p),
+                            -0.2 * np.ones(p))
+    gc = add_control_bound(spec, gc, 3 * jnp.ones(spec.m, dtype),
+                           -3 * jnp.ones(spec.m, dtype))
+    x0 = np.zeros(spec.n)
+    for i in range(p):
+        x0[np.asarray(spec.px[i])] = starts[i]
+        x0[spec.pz[i][2]] = headings[i]
+        x0[spec.pz[i][3]] = 0.3 + 0.1 * i
+    opts = Options(outer_iter=outer, inner_iter=inner,
+                   eps_opt=_default_eps_opt(dtype, eps_opt))
+    return game_problem(N, dt, jnp.asarray(x0, dtype), model, opts, obj,
+                        gc), spec
+
+
+def quadrotor3d(dtype=jnp.float64, outer: int = 6, inner: int = 12,
+                eps_opt: float | None = None):
+    """2-player 3D quadrotor game, N=15 — BASELINE 3D config
+    (``examples/quadrotor_example.py``): spherical collision avoidance,
+    floor Wall3D facet, cylinder obstacle, one-sided thrust bounds."""
+    from .constraints.sets import CylinderWall, Wall3D
+    from .models.quadrotor import quadrotor_game
+    p, N, dt = 2, 15, 0.1
+    model = quadrotor_game(p=p)
+    spec = spec_from_model(model, N, dt)
+    hover = 0.5 * 9.81 / 4.0 / model.kf
+    obj = game_objective(
+        spec,
+        Q=[jnp.asarray([10, 10, 10, 1, 1, 1, 1, 1, 1, 1, 1, 1], dtype)] * p,
+        R=[0.1 * jnp.ones(4, dtype)] * p,
+        xf=[jnp.concatenate([jnp.asarray([1.5, 0.3 * i, 1.0], dtype),
+                             jnp.zeros(9, dtype)]) for i in range(p)],
+        uf=[jnp.full((4,), hover, dtype)] * p, dtype=dtype)
+    gc = game_constraints(spec, dtype=dtype)
+    gc = add_spherical_collision_avoidance(spec, gc, 0.1)
+    gc = add_wall_constraint(spec, gc, [
+        Wall3D([0.0, -1.0, 0.2], [2.0, -1.0, 0.2], [0.0, 1.0, 0.2],
+               [0.0, 0.0, -1.0])])
+    gc = add_wall_constraint(spec, gc, [
+        CylinderWall([0.75, 0.15, 0.0], 'z', 2.0, 0.2)])
+    gc = add_control_bound(spec, gc, 3 * jnp.ones(spec.m, dtype),
+                           jnp.zeros(spec.m, dtype))
+    x0 = jnp.zeros(spec.n, dtype)
+    x0 = x0.at[np.asarray([spec.pz[i][2] for i in range(p)])].set(1.0)
+    x0 = x0.at[spec.pz[1][1]].set(0.3)
+    opts = Options(outer_iter=outer, inner_iter=inner,
+                   eps_opt=_default_eps_opt(dtype, eps_opt))
+    return game_problem(N, dt, x0, model, opts, obj, gc), spec
+
+
 def _default_eps_opt(dtype, eps_opt):
     """f32 runs gate stationarity at 1e-2: the f32 floor of the AL terms with
     mu up to 1e7 is ~3e-3 (see ``__graft_entry__._flagship_problem``); f64
@@ -137,4 +215,6 @@ PRESETS = {
     "di2_N10": intro_di,
     "uni3_N20": flagship_unicycle,
     "bike3_N20": intro_bicycle,
+    "round4_N40": roundabout,
+    "quad2_N15": quadrotor3d,
 }

@@ -40,7 +40,13 @@ def _solve(name, method, dtype=jnp.float64):
 # pinned to that level — different factorization roundoff walks within the
 # near-converged plateau.
 _ATOL = {"di2_N10": (1e-9, 1e-9), "uni3_N20": (1e-9, 1e-9),
-         "bike3_N20": (5e-3, 5e-2)}
+         "bike3_N20": (5e-3, 5e-2),
+         "round4_N40": (1e-9, 1e-9), "quad2_N15": (1e-9, 1e-9)}
+
+# Per-config optimality gate: the quadrotor's max(0, kf*w) thrust clamp is
+# non-smooth at hover, so absolute stationarity plateaus ~3e-2 regardless of
+# budget (see tests/golden/generate.py); all other violations reach 1e-3.
+_OPT_GATE = {"quad2_N15": 5e-2}
 
 CASES = [
     ("uni3_N20", "dense"), ("uni3_N20", "tridiag"), ("uni3_N20", "schur"),
@@ -48,6 +54,10 @@ CASES = [
     ("di2_N10", "dense"), ("di2_N10", "schur"),
     ("di2_N10", "pallas_interpret"),
     ("bike3_N20", "dense"), ("bike3_N20", "schur"),
+    # big configs: tridiag generated the fixture; gate the TPU-shipping
+    # structured paths (schur + the Pallas sweep at W=88 / W=80 shapes)
+    ("round4_N40", "schur"), ("round4_N40", "pallas_interpret"),
+    ("quad2_N15", "schur"), ("quad2_N15", "pallas_interpret"),
 ]
 
 
@@ -61,7 +71,8 @@ def test_golden_trajectory(name, method):
                                atol=atol_x, rtol=0)
     np.testing.assert_allclose(np.asarray(out.traj.u), gold["u"],
                                atol=atol_u, rtol=0)
-    assert all(v < 1e-3 for v in vio.values()), vio
+    assert vio["opt_vio"] < _OPT_GATE.get(name, 1e-3) and all(
+        vio[k] < 1e-3 for k in ("dyn_vio", "con_vio", "sta_vio")), vio
 
 
 def test_golden_spike_method():
