@@ -42,12 +42,22 @@ def _mm(A, X):
     return out
 
 
-def _make_fwd_kernel(T, n, m, p, R, BL):
+def _make_fwd_kernel(T, n, m, p, R, BL, owner):
+    """``owner[j]`` = player owning control index j (natural row order).
+
+    The per-knot KKT precompute (``Kb``/``Rt`` of the round-2 design) is
+    fused INTO the kernel: XLA-side it cost ~2.4 ms/chunk of layout-change
+    copies + fusion intermediates (36% of device time in the r3 hlo_stats
+    profile) because every [B, T, ...]-layout intermediate had to be
+    re-laid-out lane-last for the custom call.  The kernel now takes the raw
+    Jacobian-block leaves, each transposed lane-last exactly once.
+    """
     pn = p * n
     d = n + m
     W = n + m + pn
+    owner = np.asarray(owner)
 
-    def kernel(Q_ref, Kb_ref, Rt_ref, a_ref, d0_ref, At_ref, At1T_ref,
+    def kernel(Q_ref, Ub_ref, Bm_ref, A_ref, AT_ref, b_ref,
                G_out, y_out, G_sc, y_sc):
         t = pl.program_id(1)
 
@@ -57,14 +67,52 @@ def _make_fwd_kernel(T, n, m, p, R, BL):
             y_sc[...] = jnp.zeros(y_sc.shape, y_sc.dtype)
 
         Q = Q_ref[0]           # [p, n, n, BL]
-        Kb = Kb_ref[0]         # [d, d, BL]   rows (u, x-dyn), cols (u, x)
-        Rt = Rt_ref[0]         # [m, R, BL]
-        a = a_ref[0]           # [pn, BL]
-        d0 = d0_ref[0]         # [n, BL]
-        At = At_ref[0]         # [n, n, BL]
-        At1T = At1T_ref[0]     # [n, n, BL]
+        Ub = Ub_ref[0]         # [m, m, BL]
+        Bm = Bm_ref[0]         # [n, m, BL]
+        At = A_ref[0]          # [n, n, BL]  A_t (content at t=0 only ever
+        #                        multiplies the zeroed carries — no gate)
+        dtype = Q.dtype
+        # A_{t+1}^T, zero at the final knot (the clamped index map would
+        # otherwise re-read A_{T-1}).
+        gate = jnp.where(t < T - 1, 1.0, 0.0).astype(dtype)
+        At1T = AT_ref[0] * gate                            # [n, n, BL]
+        b = b_ref[0]           # [W, BL]
+        a = b[:pn]             # [pn, BL]
+        c = b[pn:pn + m]       # [m, BL]
+        d0 = b[pn + m:]        # [n, BL]
         G_prev = G_sc[...]     # [W, pn, BL]
         y_prev = y_sc[...]     # [W, BL]
+
+        # ---- per-knot KKT precompute (fused; round-2 did this in XLA) ----
+        # Qsel[r] = Q[owner[r]]: static row gather of each control row's
+        # player Hessian block.
+        Qsel = jnp.concatenate(
+            [Q[int(owner[r])][None] for r in range(m)], axis=0)  # [m,n,n,BL]
+        # BtQ[r, c] = sum_k B[k, r] Q_owner(r)[k, c]   (statu-x coupling)
+        BtQ = Bm[0][:, None, :] * Qsel[:, 0]
+        for k in range(1, n):
+            BtQ = BtQ + Bm[k][:, None, :] * Qsel[:, k]     # [m, n, BL]
+        # bd[r, :] = sum_k B[k, r] At1T[k, :]; block-diagonal embed by the
+        # static owner mask, segment-concat along columns (no scatter).
+        bd = Bm[0][:, None, :] * At1T[0][None]
+        for k in range(1, n):
+            bd = bd + Bm[k][:, None, :] * At1T[k][None]    # [m, n, BL]
+        # (static masks materialize as captured constants, which pallas
+        # rejects — build the block-diagonal embed row-by-row instead)
+        cG = jnp.concatenate(
+            [jnp.concatenate(
+                [bd[r:r + 1] if owner[r] == i else bd[r:r + 1] * 0.0
+                 for r in range(m)], axis=0)
+             for i in range(p)], axis=1)                   # [m, pn, BL]
+        # cy[r] = c[r] + sum_k B[k, r] a_owner(r)[k]
+        Asel = jnp.concatenate(
+            [a[int(owner[r]) * n:(int(owner[r]) + 1) * n][:, None, :]
+             for r in range(m)], axis=1)                   # [n, m, BL]
+        cy = c + jnp.sum(Bm * Asel, axis=0)                # [m, BL]
+        Rt = jnp.concatenate([cG, cy[:, None, :]], axis=1)  # [m, R, BL]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        neg_eye = -(ri == ci).astype(dtype)[:, :, None]
 
         # F = -At @ G_prev[:n]  -> [n, pn, BL]
         F = -_mm(At, G_prev[:n])
@@ -74,12 +122,9 @@ def _make_fwd_kernel(T, n, m, p, R, BL):
             FQ = FQ + _mm(F[:, i * n:(i + 1) * n, :], Q[i])
 
         # K rows: [statu (m) | dyn (n)], cols: [u (m) | x (n)]  (u-first!)
-        # Kb comes in as rows (statu, dyn), cols (u, x) with the -I already
-        # in the dyn-x block; add FQ there.  (No scatter ops in Pallas TPU —
-        # build via concat.)
         K = jnp.concatenate([
-            Kb[:m],
-            jnp.concatenate([Kb[m:, :m], Kb[m:, m:] + FQ], axis=1)], axis=0)
+            jnp.concatenate([Ub, BtQ], axis=1),
+            jnp.concatenate([Bm, neg_eye + FQ], axis=1)], axis=0)
 
         # RHS rows (statu, dyn): top Rt; bottom dG | dy.
         dG = _mm(F[:, 0:n, :], At1T)
@@ -130,7 +175,7 @@ def _make_fwd_kernel(T, n, m, p, R, BL):
         G_out[0] = G_t
         y_out[0] = y_t
 
-    return kernel, W, pn
+    return kernel
 
 
 def _make_bwd_kernel(T, n, m, p, BL):
@@ -171,71 +216,47 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
     BL = min(block_lanes, B)
     assert B % BL == 0, "batch must be divisible by the lane block"
     dtype = jb.A.dtype
-    pu = np.stack([np.asarray(spec.pu[i]) for i in range(p)])
+    owner = np.zeros((m,), np.int32)
+    for i in range(p):
+        owner[np.asarray(spec.pu[i])] = i
 
-    # ---- batched precomputation (XLA), laid out lane-last ----------------
+    # ---- lane-last relayout of the RAW leaves (the only XLA-side work) ---
+    # All per-knot KKT precompute (Kb/Rt/BtQ/cG/cy of the round-2 design)
+    # happens inside the kernel; XLA's job is reduced to one layout
+    # transpose per leaf, ~40% fewer bytes than transposing the precomputed
+    # tensors and with no fusion intermediates to re-lay-out.
     A, Bm, Qb, Ub = jb.A, jb.B, jb.Qblk, jb.Ublk   # [B, T, ...]
-    zero_n = jnp.zeros((B, 1, n, n), dtype)
-    Asub = jnp.concatenate([zero_n, A[:, 1:]], axis=1)
-    AsupT = jnp.concatenate([jnp.transpose(A[:, 1:], (0, 1, 3, 2)), zero_n],
-                            axis=1)
-    Bp = Bm[:, :, :, pu.reshape(-1)].reshape(B, T, n, p, -1)
-    Bp = jnp.transpose(Bp, (0, 1, 3, 2, 4))                    # [B,T,p,n,mi]
-    # Contractions over the small state dim n as elementwise VPU reduces:
-    # einsum dots here lower to bf16 MXU matmuls + layout-change copies.
-    BtQ_p = jnp.sum(Bp[..., None] * Qb[:, :, :, :, None, :], axis=3)
-    # Row embeddings by STATIC permutation gather (scatter .at[pu].set is a
-    # pathologically slow partial-tile VMEM write on TPU — it dominated the
-    # round-1 device profile at ~66% of solve time).
-    perm = pu.reshape(-1)                     # player-major row order
-    inv = np.argsort(perm)                    # natural row -> stacked pos
-    BtQ = BtQ_p.reshape(B, T, m, n)[:, :, inv, :]
-    eye_n = jnp.eye(n, dtype=dtype)
-    eye_p = jnp.asarray(np.eye(p), dtype)
-    # Kb rows (statu, dyn), cols (u, x): u-first ordering for pivoting-free GE.
-    Kb = jnp.concatenate([
-        jnp.concatenate([Ub, BtQ], axis=3),
-        jnp.concatenate([Bm, jnp.broadcast_to(-eye_n, (B, T, n, n))], axis=3),
-    ], axis=2)                                                 # [B,T,d,d]
+    ins = [
+        jnp.transpose(Qb, (1, 2, 3, 4, 0)),        # [T, p, n, n, B]
+        jnp.transpose(Ub, (1, 2, 3, 0)),           # [T, m, m, B]
+        jnp.transpose(Bm, (1, 2, 3, 0)),           # [T, n, m, B]
+        jnp.transpose(A, (1, 2, 3, 0)),            # [T, n, n, B]   A_t
+        jnp.transpose(A, (1, 3, 2, 0)),            # [T, n, n, B]   A_t^T
+        jnp.transpose(b_knots, (1, 2, 0)),         # [T, W, B]
+    ]
 
-    a_all = b_knots[:, :, :pn]
-    c_all = b_knots[:, :, pn:pn + m]
-    d_all = b_knots[:, :, pn + m:]
-    cG_p = jnp.sum(Bp[..., None] * AsupT[:, :, None, :, None, :],
-                   axis=3)                                       # [B,T,p,mi,n]
-    # Block-diagonal embed via identity mask, then the same row permutation.
-    cG_bd = (cG_p[:, :, :, :, None, :]
-             * eye_p[None, None, :, None, :, None])           # [B,T,p,mi,p,n]
-    cG = cG_bd.reshape(B, T, m, pn)[:, :, inv, :]
-    cy_add = jnp.sum(Bp * a_all.reshape(B, T, p, n)[..., None],
-                     axis=3)                                  # [B,T,p,mi]
-    cy = c_all + cy_add.reshape(B, T, m)[:, :, inv]
-    Rt = jnp.concatenate([cG, cy[..., None]], axis=3)          # [B,T,m,R]
-
-    def lane_last(x):
-        # [B, T, ...] -> [T, ..., B]
-        perm = (1,) + tuple(range(2, x.ndim)) + (0,)
-        return jnp.transpose(x, perm)
-
-    ins = [lane_last(x) for x in
-           (Qb, Kb, Rt, a_all, d_all, Asub, AsupT)]
-
-    fwd_kernel, W_, pn_ = _make_fwd_kernel(T, n, m, p, R, BL)
+    fwd_kernel = _make_fwd_kernel(T, n, m, p, R, BL, owner)
     grid = (B // BL, T)
 
-    def in_spec(x):
+    def in_spec(x, shift_clamp=False):
         # block: [1 knot, ..., BL lanes]
         shape = (1,) + x.shape[1:-1] + (BL,)
         nd = x.ndim
 
         def imap(bt, t):
-            return (t,) + (0,) * (nd - 2) + (bt,)
+            tt = jnp.minimum(t + 1, T - 1) if shift_clamp else t
+            return (tt,) + (0,) * (nd - 2) + (bt,)
         return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [in_spec(ins[0]), in_spec(ins[1]), in_spec(ins[2]),
+                in_spec(ins[3]),
+                in_spec(ins[4], shift_clamp=True),   # A_{t+1}^T
+                in_spec(ins[5])]
 
     G, yhat = pl.pallas_call(
         fwd_kernel,
         grid=grid,
-        in_specs=[in_spec(x) for x in ins],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, W, pn, BL), lambda bt, t: (t, 0, 0, bt),
                          memory_space=pltpu.VMEM),

@@ -268,16 +268,36 @@ def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
 # --------------------------------------------------------------------------
 
 @pytree_dataclass
-class PointData:
-    """Everything about a trajectory point the Newton iteration needs that
-    does NOT depend on the AL state (lam, mu) or the regularization:
+class PointLite:
+    """The gc-independent point quantities a LINE-SEARCH TRIAL needs —
+    everything in :class:`PointData` except the dense step Jacobians (A, B):
 
       rx0/ru0: cost gradients + dynamics-dual terms of the stationarity rows
                (the residual before constraint AL gradients)
       rd:      RK2 dynamics defects
-      A, B:    RK2 step Jacobians
       state_c/state_J, control_c/control_J: per-constraint-block values and
                Jacobians (functions of the trajectory only)
+
+    The dual terms A^T lam / B^T lam are computed as p VJP pulls through the
+    RK2 step — NOT by materializing the [T, n, n+m] ``jacfwd`` Jacobian and
+    contracting (that Jacobian is only needed for the KKT assembly of the
+    ACCEPTED point, so trial evaluations skip it; it was ~1/3 of the
+    line-search device time in the round-3 hlo_stats profile).
+    """
+    rx0: jnp.ndarray                 # [T, p, n]
+    ru0: jnp.ndarray                 # [T, m]
+    rd: jnp.ndarray                  # [T, n]
+    state_c: tuple                   # per state block: [K, C]
+    state_J: tuple                   # per state block: [K, C, n]
+    control_c: tuple
+    control_J: tuple
+
+
+@pytree_dataclass
+class PointData:
+    """:class:`PointLite` plus the RK2 step Jacobians (A, B) — everything
+    the Newton iteration needs that does NOT depend on the AL state
+    (lam, mu) or the regularization.
 
     The accepted line-search trial evaluates the full residual at exactly the
     point the next iteration re-assembles at (the reference recomputes it,
@@ -297,24 +317,40 @@ class PointData:
     control_J: tuple
 
 
-def point_data(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
-               traj: PrimalDual) -> PointData:
-    """Evaluate all gc-independent point quantities at ``traj`` (one pass,
-    same op order as :func:`residual` so rebuilds are bitwise-identical)."""
-    m = spec.m
-    qx, ru_cost = cost_gradient(spec, obj, traj)
+def point_from_lite(model, spec: ProblemSpec, lite: PointLite,
+                    traj: PrimalDual) -> PointData:
+    """Complete a :class:`PointLite` into a :class:`PointData` by evaluating
+    the dense RK2 step Jacobians at ``traj`` (the accepted trial point)."""
     A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
+    return PointData(rx0=lite.rx0, ru0=lite.ru0, rd=lite.rd, A=A, B=B,
+                     state_c=lite.state_c, state_J=lite.state_J,
+                     control_c=lite.control_c, control_J=lite.control_J)
+
+
+def point_lite(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+               traj: PrimalDual) -> PointLite:
+    """Evaluate all gc-independent point quantities at ``traj`` except the
+    dense step Jacobians (one pass, same op order as :func:`residual` so
+    rebuilds are bitwise-identical)."""
+    m = spec.m
+    dt = spec.dt
+    qx, ru_cost = cost_gradient(spec, obj, traj)
 
     rx = jnp.transpose(qx[:, 1:], (1, 0, 2))
     owner = owner_map_u(spec)
     ru = ru_cost[owner, :, np.arange(m)].T
-    # Contractions over the small state dim as elementwise VPU reduces —
-    # einsum dots here cost bf16 MXU conversions + layout copies (profiled).
-    AtL = jnp.sum(A[None, 1:] * traj.lam[:, 1:, :, None], axis=2)  # [p,T-1,n]
-    rx = rx.at[:-1].add(jnp.transpose(AtL, (1, 0, 2)))
+    # Dynamics-dual terms A_k^T lam_k / B_k^T lam_k as one VJP per knot with
+    # the p player cotangents pulled through a shared forward pass — p pulls
+    # instead of n+m jacfwd tangents (the [T, n, n+m] Jacobian is deferred to
+    # the accepted point, :func:`point_from_lite`).
+    def _pull(xk, uk, lams_k):
+        _, pull = jax.vjp(lambda x, u: rk2_step(model, x, u, dt), xk, uk)
+        return jax.vmap(pull)(lams_k)            # ([p, n], [p, m])
+    gx, gu = jax.vmap(_pull, in_axes=(0, 0, 1))(
+        traj.x[:-1], traj.u, traj.lam)           # [T, p, n], [T, p, m]
+    rx = rx.at[:-1].add(gx[1:])
     rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
-    BtL = jnp.sum(B[None] * traj.lam[:, :, :, None], axis=2)       # [p,T,m]
-    ru = ru + BtL[owner, :, np.arange(m)].T
+    ru = ru + gu[:, owner, np.arange(m)]
 
     state_c, state_J = [], []
     for blk in gc.state_blocks:
@@ -326,9 +362,17 @@ def point_data(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
         control_J.append(_blk_jacobian_for_carry(blk, traj))
 
     rd = dynamics_residual(model, spec, traj)
-    return PointData(rx0=rx, ru0=ru, rd=rd, A=A, B=B,
+    return PointLite(rx0=rx, ru0=ru, rd=rd,
                      state_c=tuple(state_c), state_J=tuple(state_J),
                      control_c=tuple(control_c), control_J=tuple(control_J))
+
+
+def point_data(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+               traj: PrimalDual) -> PointData:
+    """Evaluate all gc-independent point quantities at ``traj``
+    (:func:`point_lite` + the dense step Jacobians)."""
+    return point_from_lite(model, spec,
+                           point_lite(model, spec, obj, gc, traj), traj)
 
 
 def _irho(blk: gcm.ConBlock, c: jnp.ndarray) -> jnp.ndarray:

@@ -67,20 +67,22 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
     K (rare: the depth histogram of the flagship bench puts p99 at 2) run in
     the reference's sequential loop.
 
-    ``pd`` is the :class:`~..problem.residual.PointData` evaluated at the
+    ``pd`` is the :class:`~..problem.residual.PointLite` evaluated at the
     accepted trial point — the next iteration rebuilds its residual/Jacobian
     from it instead of re-evaluating (the reference recomputes,
-    ``solver_methods.jl:73``).  On a FAILED line search the reference steps
-    with a final alpha that was never evaluated (alpha_0 * decrease^ls_iter,
-    ~3e-8 of the step); the returned pd is then from the last *tested* alpha
-    — an O(1e-8 * |step|) approximation on lanes that immediately stop.
+    ``solver_methods.jl:73``); the caller completes it with the dense step
+    Jacobians via :func:`~..problem.residual.point_from_lite` (trials skip
+    them).  On a FAILED line search the reference steps with a final alpha
+    that was never evaluated (alpha_0 * decrease^ls_iter, ~3e-8 of the
+    step); the returned pd is then from the last *tested* alpha — an
+    O(1e-8 * |step|) approximation on lanes that immediately stop.
     """
     dtype = res_norm.dtype
     reg_eff = reg if opts.regularize else 0.0
 
     def trial_point(alpha):
         trial = update_traj(traj, alpha, dtraj)
-        pd = R.point_data(model, spec, obj, gc, trial)
+        pd = R.point_lite(model, spec, obj, gc, trial)
         res_t = R.residual_from_point(spec, gc, pd)
         # Tikhonov pull toward the current iterate (residual's reg term),
         # applied in the same op order as R.residual(reg, traj_ref).
@@ -183,10 +185,12 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
             "'dense'")
     dtraj = unpack_step(spec, dflat)
 
-    alpha, j, found, pd_ls = line_search(model, spec, obj, gc, opts, traj,
-                                         dtraj, res_norm, reg)
+    alpha, j, found, lite = line_search(model, spec, obj, gc, opts, traj,
+                                        dtraj, res_norm, reg)
     failed_ls = j >= opts.ls_iter
     traj_new = update_traj(traj, alpha, dtraj)
+    # Dense step Jacobians ONCE, at the accepted point (trials skip them).
+    pd_ls = R.point_from_lite(model, spec, lite, traj_new)
     delta = delta_step(dtraj, alpha)
 
     take_step = ~stop_opt

@@ -52,10 +52,10 @@ def main():
     from algames_tpu.core.traj import PrimalDual
     from algames_tpu.models.integration import rk3_step
 
-    def replan(x, warm, gc):
+    def replan(x, warm, gc, method="schur"):
         pb = ag.GameProblem(spec=prob.spec, model=prob.model, opts=prob.opts,
                             x0=x, obj=prob.obj, gc=gc)
-        out = ag.newton_solve(pb, warm=warm, method="schur")
+        out = ag.newton_solve(pb, warm=warm, method=method)
         return out.traj, ag.reset_penalties(out.gc)
 
     replan_jit = jax.jit(replan)
@@ -92,12 +92,16 @@ def main():
     xs = jnp.tile(prob.x0[None], (B, 1))
     xs = xs + 0.05 * jax.random.normal(key, xs.shape, dtype)
 
+    # Batched path rides the fused Pallas lane-batched KKT sweep — the same
+    # kernel as the headline bench (schur per-lane would serialize ~10 small
+    # dispatches per knot across the vmap).
     cold_b = jax.jit(lambda x: ag.parallel.solve_batch(
-        prob, x, method="schur"))(xs)
+        prob, x, method="pallas"))(xs)
     jax.block_until_ready(cold_b.traj.x)
     warm_b = cold_b.traj
     gc_b = jax.vmap(ag.reset_penalties)(cold_b.gc)
-    replan_b = jax.jit(jax.vmap(replan))
+    replan_b = jax.jit(jax.vmap(
+        lambda x, warm, gc: replan(x, warm, gc, method="pallas")))
     step2 = jax.vmap(lambda x, u: rk3_step(
         model, rk3_step(model, x, u, spec.dt / 2), u, spec.dt / 2))
 
