@@ -153,25 +153,17 @@ def _make_fwd_kernel(T, n, m, p, R, BL, owner):
         Uu = sol[:m]                                       # u block (first)
         X = sol[m:]                                        # x block
 
-        # lam_i = Q_i x - a_i columns; a-columns: blockdiag(At1T) for the G
-        # part, ``a`` for the y column.  Segment-wise concat (no scatter).
-        lams = []
-        for i in range(p):
-            li = _mm(Q[i], X)                              # [n, R, BL]
-            segs = []
-            if i > 0:
-                segs.append(li[:, :i * n])
-            segs.append(li[:, i * n:(i + 1) * n] - At1T)
-            if i < p - 1:
-                segs.append(li[:, (i + 1) * n:pn])
-            segs.append(li[:, pn:] - a[i * n:(i + 1) * n][:, None, :])
-            lams.append(jnp.concatenate(segs, axis=1))
-        lam = jnp.concatenate(lams, axis=0)                # [pn, R, BL]
-
-        G_t = jnp.concatenate([X[:, :pn], Uu[:, :pn], lam[:, :pn]], axis=0)
-        y_t = jnp.concatenate([X[:, pn], Uu[:, pn], lam[:, pn]], axis=0)
-        G_sc[...] = G_t
-        y_sc[...] = y_t
+        # lam rows of the sweep are NOT materialized: lam_t depends on the
+        # solved (x, u) and lam_{t+1} in closed form
+        #   lam_{i,t} = Q_i x_t + A_{t+1}^T lam_{i,t+1} - a_i
+        # so the backward pass reconstructs it as two vector products per
+        # player instead of the fwd pass solving p Q_i-by-R-column products
+        # (~1/3 of the fwd kernel's flops in the round-3 profile) and the
+        # [pn, pn] lam block of G never touching HBM (2/3 of G's bytes).
+        G_t = jnp.concatenate([X[:, :pn], Uu[:, :pn]], axis=0)   # [d, pn]
+        y_t = jnp.concatenate([X[:, pn], Uu[:, pn]], axis=0)     # [d]
+        G_sc[...] = X[:, :pn]     # only the x rows feed the next knot's F
+        y_sc[...] = X[:, pn]
         G_out[0] = G_t
         y_out[0] = y_t
 
@@ -182,19 +174,36 @@ def _make_bwd_kernel(T, n, m, p, BL):
     pn = p * n
     W = n + m + pn
 
-    def kernel(G_ref, yhat_ref, y_out, y_sc):
+    def kernel(G_ref, yhat_ref, Q_ref, AT_ref, b_ref, y_out, lam_sc):
         t = pl.program_id(1)           # walks 0..T-1 mapped to knots T-1..0
 
         @pl.when(t == 0)
         def _():
-            y_sc[...] = jnp.zeros(y_sc.shape, y_sc.dtype)
+            lam_sc[...] = jnp.zeros(lam_sc.shape, lam_sc.dtype)
 
-        G = G_ref[0]                   # [W, pn, BL]
-        yhat = yhat_ref[0]             # [W, BL]
-        y_next = y_sc[...]             # [W, BL]
-        y_t = yhat - _mm(G, y_next[n + m:][:, None, :])[:, 0, :]
-        y_sc[...] = y_t
-        y_out[0] = y_t
+        G = G_ref[0]                   # [d, pn, BL]  (x, u) rows only
+        yhat = yhat_ref[0]             # [d, BL]
+        Q = Q_ref[0]                   # [p, n, n, BL]
+        dtype = Q.dtype
+        # A_{knot+1}^T, zero at the final knot (grid step 0 = knot T-1).
+        gate = jnp.where(t > 0, 1.0, 0.0).astype(dtype)
+        At1T = AT_ref[0] * gate        # [n, n, BL]
+        a = b_ref[0][:pn]              # [pn, BL]
+        lam_next = lam_sc[...]         # [pn, BL]
+
+        xu = yhat - _mm(G, lam_next[:, None, :])[:, 0, :]   # [d, BL]
+        x = xu[:n]
+        # lam_{i,t} = Q_i x_t + A_{t+1}^T lam_{i,t+1} - a_i  (closed form,
+        # the same linear combination the fwd lam rows of G used to encode).
+        lams = []
+        for i in range(p):
+            li = _mm(Q[i], x[:, None, :])[:, 0, :]          # [n, BL]
+            li = li + _mm(At1T,
+                          lam_next[i * n:(i + 1) * n][:, None, :])[:, 0, :]
+            lams.append(li - a[i * n:(i + 1) * n])
+        lam_t = jnp.concatenate(lams, axis=0)               # [pn, BL]
+        lam_sc[...] = lam_t
+        y_out[0] = jnp.concatenate([xu, lam_t], axis=0)     # [W, BL]
 
     return kernel
 
@@ -258,38 +267,49 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
-            pl.BlockSpec((1, W, pn, BL), lambda bt, t: (t, 0, 0, bt),
+            pl.BlockSpec((1, d, pn, BL), lambda bt, t: (t, 0, 0, bt),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, BL), lambda bt, t: (t, 0, bt),
+            pl.BlockSpec((1, d, BL), lambda bt, t: (t, 0, bt),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((T, W, pn, B), dtype),
-            jax.ShapeDtypeStruct((T, W, B), dtype),
+            jax.ShapeDtypeStruct((T, d, pn, B), dtype),
+            jax.ShapeDtypeStruct((T, d, B), dtype),
         ),
         scratch_shapes=[
-            pltpu.VMEM((W, pn, BL), dtype),
-            pltpu.VMEM((W, BL), dtype),
+            pltpu.VMEM((n, pn, BL), dtype),
+            pltpu.VMEM((n, BL), dtype),
         ],
         interpret=interpret,
     )(*ins)
 
     bwd_kernel = _make_bwd_kernel(T, n, m, p, BL)
+
+    def rev_spec(x, shift_clamp=False):
+        shape = (1,) + x.shape[1:-1] + (BL,)
+        nd = x.ndim
+
+        def imap(bt, t):
+            knot = T - 1 - t
+            tt = jnp.minimum(knot + 1, T - 1) if shift_clamp else knot
+            return (tt,) + (0,) * (nd - 2) + (bt,)
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
     ys = pl.pallas_call(
         bwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, W, pn, BL), lambda bt, t: (T - 1 - t, 0, 0, bt),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, W, BL), lambda bt, t: (T - 1 - t, 0, bt),
-                         memory_space=pltpu.VMEM),
+            rev_spec(G), rev_spec(yhat),
+            rev_spec(ins[0]),                      # Q
+            rev_spec(ins[4], shift_clamp=True),    # A_{knot+1}^T
+            rev_spec(ins[5]),                      # b (a rows)
         ],
         out_specs=pl.BlockSpec((1, W, BL), lambda bt, t: (T - 1 - t, 0, bt),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((T, W, B), dtype),
-        scratch_shapes=[pltpu.VMEM((W, BL), dtype)],
+        scratch_shapes=[pltpu.VMEM((pn, BL), dtype)],
         interpret=interpret,
-    )(G, yhat)
+    )(G, yhat, ins[0], ins[4], ins[5])
 
     # [T, W, B] -> [B, T*W]
     return jnp.transpose(ys, (2, 0, 1)).reshape(B, T * W)

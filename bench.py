@@ -36,16 +36,15 @@ def main():
     # per-lane once the 1e-3 violation gates pass (same gates as reference).
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
 
-    # Batch 128 = one Pallas lane tile; larger per-dispatch batches pay a
-    # straggler penalty (the vmapped while_loop runs max-over-lanes trips).
-    # Steady-state throughput = C independent chunks enqueued back-to-back
-    # (async dispatch), blocked once — each chunk pays only its own
-    # max-iteration count, and the pipeline depth hides per-dispatch
-    # latency.  32 x 128 = 4096 scenarios per rep, the BASELINE Monte-Carlo
-    # config; throughput plateaus there (~82% of the pure device-self-time
-    # bound).
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    chunks = int(os.environ.get("BENCH_CHUNKS", "32"))
+    # Batch 256 = two Pallas lane tiles per dispatch: once the round-3 kernel
+    # fusions cut device self-time to ~3 ms/chunk the pipeline became
+    # DISPATCH-bound, and doubling the per-dispatch batch beat deeper
+    # pipelining (measured 31.3k @ 256x16 vs 22.7k @ 128x32 vs 28.0k @
+    # 512x8 — the straggler penalty of the vmapped while_loop's
+    # max-over-lanes trips takes over past ~256 lanes).  16 x 256 = 4096
+    # scenarios per rep, the BASELINE Monte-Carlo config.
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "16"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     key = jax.random.PRNGKey(0)
     x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
