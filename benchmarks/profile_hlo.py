@@ -29,10 +29,12 @@ def main():
     import argparse
     ap = argparse.ArgumentParser()
     ap.add_argument("--chunks", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--method", default="pallas")
     ap.add_argument("--logdir", default="/tmp/algames_xprof")
+    ap.add_argument("--json", default=None,
+                    help="write a roofline summary JSON artifact here")
     args = ap.parse_args()
 
     dtype = jnp.float32
@@ -104,6 +106,35 @@ def main():
             by_name.items(), key=lambda kv: -kv[1][0])[:args.top]:
         print(f"{v/total*100:6.2f}%  {v/args.chunks/1e3:8.3f} ms/chunk  "
               f"x{int(occ):5d}  hbm={hbm:6.1f}GiB/s  [{cat}|{bound}] {k[:90]}")
+
+    if args.json:
+        pallas_us = sum(v for k, (v, *_rest) in by_name.items()
+                        if k.startswith("body."))
+        summary = {
+            "platform": jax.devices()[0].platform,
+            "config": f"batch={args.batch} chunks={args.chunks} "
+                      f"method={args.method}",
+            "device_self_time_ms_per_chunk": round(per_chunk_ms, 3),
+            "device_bound_solves_per_s": round(args.batch / per_chunk_ms
+                                               * 1e3, 0),
+            "hbm_traffic_mb_per_chunk": round(hbm_bytes / args.chunks / 1e6,
+                                              1),
+            "hbm_utilization_pct_of_819GBs": round(
+                hbm_bytes / 2**30 / (total * 1e-6) / PEAK_GIBS * 100, 2),
+            "pallas_ms_per_chunk": round(pallas_us / args.chunks / 1e3, 3),
+            "by_category_ms_per_chunk": {
+                k: round(v / args.chunks / 1e3, 3)
+                for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])},
+            "note": ("The solve is NOT HBM-bound (utilization ~0.1-3%): all "
+                     "per-iteration state fits in VMEM and ops are small-"
+                     "matrix VPU work across 128-lane tiles.  The justified "
+                     "bound is the VPU flop roofline of the fused sweep "
+                     "kernels plus XLA glue; see docs/PERF.md for the "
+                     "per-knot flop count and the speed-of-light argument."),
+        }
+        with open(args.json, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"\nwrote {args.json}")
 
 
 if __name__ == "__main__":
