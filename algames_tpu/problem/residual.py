@@ -269,28 +269,29 @@ def assemble(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
 
 @pytree_dataclass
 class PointLite:
-    """The gc-independent point quantities a LINE-SEARCH TRIAL needs —
-    everything in :class:`PointData` except the dense step Jacobians (A, B):
+    """The gc-independent point quantities a LINE-SEARCH TRIAL needs to
+    CARRY — everything in :class:`PointData` except the dense step Jacobians
+    (A, B) and the per-block constraint Jacobians:
 
       rx0/ru0: cost gradients + dynamics-dual terms of the stationarity rows
                (the residual before constraint AL gradients)
       rd:      RK2 dynamics defects
-      state_c/state_J, control_c/control_J: per-constraint-block values and
-               Jacobians (functions of the trajectory only)
+      state_c/control_c: per-constraint-block values
 
     The dual terms A^T lam / B^T lam are computed as p VJP pulls through the
     RK2 step — NOT by materializing the [T, n, n+m] ``jacfwd`` Jacobian and
-    contracting (that Jacobian is only needed for the KKT assembly of the
-    ACCEPTED point, so trial evaluations skip it; it was ~1/3 of the
-    line-search device time in the round-3 hlo_stats profile).
+    contracting.  Constraint Jacobians are evaluated inside the trial for its
+    own residual but NOT carried: both the dense and the constraint Jacobians
+    are only needed for the KKT assembly of the ACCEPTED point, so they are
+    re-evaluated there (:func:`point_from_lite`) — carrying them per trial
+    cost a [B, trials, T, C, n] layout-copy + gather tail in the round-3
+    hlo_stats profile.
     """
     rx0: jnp.ndarray                 # [T, p, n]
     ru0: jnp.ndarray                 # [T, m]
     rd: jnp.ndarray                  # [T, n]
     state_c: tuple                   # per state block: [K, C]
-    state_J: tuple                   # per state block: [K, C, n]
     control_c: tuple
-    control_J: tuple
 
 
 @pytree_dataclass
@@ -317,21 +318,28 @@ class PointData:
     control_J: tuple
 
 
-def point_from_lite(model, spec: ProblemSpec, lite: PointLite,
-                    traj: PrimalDual) -> PointData:
+def point_from_lite(model, spec: ProblemSpec, gc: gcm.GameConstraints,
+                    lite: PointLite, traj: PrimalDual) -> PointData:
     """Complete a :class:`PointLite` into a :class:`PointData` by evaluating
-    the dense RK2 step Jacobians at ``traj`` (the accepted trial point)."""
+    the dense RK2 step Jacobians and the per-block constraint Jacobians at
+    ``traj`` (the accepted trial point — the values are identical to what
+    the trial computed internally, at a fraction of the carried bytes)."""
     A, B = step_jacobians_traj(model, traj.x[:-1], traj.u, spec.dt)
+    state_J = tuple(_blk_jacobian_for_carry(blk, traj)
+                    for blk in gc.state_blocks)
+    control_J = tuple(_blk_jacobian_for_carry(blk, traj)
+                      for blk in gc.control_blocks)
     return PointData(rx0=lite.rx0, ru0=lite.ru0, rd=lite.rd, A=A, B=B,
-                     state_c=lite.state_c, state_J=lite.state_J,
-                     control_c=lite.control_c, control_J=lite.control_J)
+                     state_c=lite.state_c, state_J=state_J,
+                     control_c=lite.control_c, control_J=control_J)
 
 
-def point_lite(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
-               traj: PrimalDual) -> PointLite:
-    """Evaluate all gc-independent point quantities at ``traj`` except the
-    dense step Jacobians (one pass, same op order as :func:`residual` so
-    rebuilds are bitwise-identical)."""
+def point_lite_res(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
+                   traj: PrimalDual):
+    """Evaluate a trial point: returns ``(PointLite, Residual)`` in one pass
+    (same op order as :func:`residual` so rebuilds are bitwise-identical).
+    Constraint Jacobians are used for the residual's AL gradients but not
+    returned."""
     m = spec.m
     dt = spec.dt
     qx, ru_cost = cost_gradient(spec, obj, traj)
@@ -352,27 +360,39 @@ def point_lite(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
     ru = ru + gu[:, owner, np.arange(m)]
 
-    state_c, state_J = [], []
-    for blk in gc.state_blocks:
-        state_c.append(gcm.block_values(blk, traj))
-        state_J.append(_blk_jacobian_for_carry(blk, traj))
-    control_c, control_J = [], []
-    for blk in gc.control_blocks:
-        control_c.append(gcm.block_values(blk, traj))
-        control_J.append(_blk_jacobian_for_carry(blk, traj))
-
     rd = dynamics_residual(model, spec, traj)
-    return PointLite(rx0=rx, ru0=ru, rd=rd,
-                     state_c=tuple(state_c), state_J=tuple(state_J),
-                     control_c=tuple(control_c), control_J=tuple(control_J))
+
+    # Constraint values + AL gradients (Jacobians local, not carried).
+    state_c, control_c = [], []
+    rx_res, ru_res = rx, ru
+    grad_per = [None] * spec.p
+    for blk in gc.state_blocks:
+        c = gcm.block_values(blk, traj)
+        J = _blk_jacobian_for_carry(blk, traj)
+        state_c.append(c)
+        g = _al_grad(blk, J, blk.lam + _irho(blk, c) * c)
+        grad_per[blk.owner] = (g if grad_per[blk.owner] is None
+                               else grad_per[blk.owner] + g)
+    gsum = _owner_select(spec, grad_per, rd.shape[0], (spec.n,), rx.dtype)
+    if gsum is not None:
+        rx_res = rx_res + gsum
+    for blk in gc.control_blocks:
+        c = gcm.block_values(blk, traj)
+        J = _blk_jacobian_for_carry(blk, traj)
+        control_c.append(c)
+        ru_res = ru_res + _al_grad(blk, J, blk.lam + _irho(blk, c) * c)
+
+    lite = PointLite(rx0=rx, ru0=ru, rd=rd,
+                     state_c=tuple(state_c), control_c=tuple(control_c))
+    return lite, Residual(rx=rx_res, ru=ru_res, rd=rd)
 
 
 def point_data(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
                traj: PrimalDual) -> PointData:
     """Evaluate all gc-independent point quantities at ``traj``
-    (:func:`point_lite` + the dense step Jacobians)."""
-    return point_from_lite(model, spec,
-                           point_lite(model, spec, obj, gc, traj), traj)
+    (:func:`point_lite_res` + the dense/constraint Jacobians)."""
+    lite, _ = point_lite_res(model, spec, obj, gc, traj)
+    return point_from_lite(model, spec, gc, lite, traj)
 
 
 def _irho(blk: gcm.ConBlock, c: jnp.ndarray) -> jnp.ndarray:

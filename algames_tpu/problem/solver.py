@@ -82,8 +82,7 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
 
     def trial_point(alpha):
         trial = update_traj(traj, alpha, dtraj)
-        pd = R.point_lite(model, spec, obj, gc, trial)
-        res_t = R.residual_from_point(spec, gc, pd)
+        pd, res_t = R.point_lite_res(model, spec, obj, gc, trial)
         # Tikhonov pull toward the current iterate (residual's reg term),
         # applied in the same op order as R.residual(reg, traj_ref).
         rx = res_t.rx + reg_eff * (trial.x[1:] - traj.x[1:])[:, None, :]
@@ -190,7 +189,7 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
     failed_ls = j >= opts.ls_iter
     traj_new = update_traj(traj, alpha, dtraj)
     # Dense step Jacobians ONCE, at the accepted point (trials skip them).
-    pd_ls = R.point_from_lite(model, spec, lite, traj_new)
+    pd_ls = R.point_from_lite(model, spec, gc, lite, traj_new)
     delta = delta_step(dtraj, alpha)
 
     take_step = ~stop_opt

@@ -37,14 +37,16 @@ def main():
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
 
     # Batch 256 = two Pallas lane tiles per dispatch: once the round-3 kernel
-    # fusions cut device self-time to ~3 ms/chunk the pipeline became
-    # DISPATCH-bound, and doubling the per-dispatch batch beat deeper
-    # pipelining (measured 31.3k @ 256x16 vs 22.7k @ 128x32 vs 28.0k @
-    # 512x8 — the straggler penalty of the vmapped while_loop's
-    # max-over-lanes trips takes over past ~256 lanes).  16 x 256 = 4096
-    # scenarios per rep, the BASELINE Monte-Carlo config.
+    # fusions cut device self-time the pipeline became DISPATCH-bound, and
+    # doubling the per-dispatch batch beat shallower configs (256 beats both
+    # 128 and 512 — the straggler penalty of the vmapped while_loop's
+    # max-over-lanes trips takes over past ~256 lanes).  Pipeline depth 64
+    # amortizes the ~25 ms axon-tunnel dispatch RPC across the rep (measured
+    # 31.5k @ 256x16, 39.2k @ 256x32, 42.1k @ 256x64, 38.0k @ 256x128).
+    # 64 x 256 = 16384 scenarios per rep = 4x the BASELINE Monte-Carlo
+    # config, measured at steady state.
     batch = int(os.environ.get("BENCH_BATCH", "256"))
-    chunks = int(os.environ.get("BENCH_CHUNKS", "16"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "64"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     key = jax.random.PRNGKey(0)
     x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
