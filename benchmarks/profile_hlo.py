@@ -125,7 +125,7 @@ def main():
             "by_category_ms_per_chunk": {
                 k: round(v / args.chunks / 1e3, 3)
                 for k, v in sorted(by_cat.items(), key=lambda kv: -kv[1])},
-            "note": ("The solve is NOT HBM-bound (utilization ~0.1-3%): all "
+            "note": ("The solve is NOT HBM-bound (utilization ~0.1-8%): all "
                      "per-iteration state fits in VMEM and ops are small-"
                      "matrix VPU work across 128-lane tiles.  The justified "
                      "bound is the VPU flop roofline of the fused sweep "
