@@ -27,7 +27,8 @@ from .constraints import (ConBlock, CylinderWall, GameConstraints, Wall,
                           add_collision_avoidance, add_control_bound,
                           add_spherical_collision_avoidance, add_state_bound,
                           add_velocity_bound, add_wall_constraint,
-                          control_violation, dual_update, game_constraints,
+                          control_violation, dual_update,
+                          dynamics_violation_vector, game_constraints,
                           penalty_update, reset_constraint_duals,
                           reset_constraints, reset_penalties,
                           set_constraint_params, state_violation,
@@ -43,5 +44,6 @@ from . import presets  # noqa: E402  (BASELINE problem configurations)
 from . import parallel  # noqa: E402  (registers ag.parallel.*)
 from . import active_set  # noqa: E402
 from .mpc import MPCResult, mpc_solve, mpc_solve_jit  # noqa: E402
+from . import profiling  # noqa: E402  (device traces, timed_solve/t_elap)
 
 __version__ = "0.1.0"

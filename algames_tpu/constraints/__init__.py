@@ -6,6 +6,7 @@ from .sets import (ConBlock, CylinderWall, GameConstraints, Wall,
                                add_state_bound, add_velocity_bound,
                                add_wall_constraint, al_expansion,
                                block_jacobian, block_values, control_violation,
+                               dynamics_violation_vector,
                                dual_update, game_constraints, penalty_update,
                                reset_constraint_duals, reset_constraints,
                                reset_penalties, set_constraint_params,
@@ -20,4 +21,5 @@ __all__ = [
     "al_expansion", "block_values", "block_jacobian",
     "dual_update", "penalty_update", "update_active_set", "reset_constraints", "reset_penalties", "reset_constraint_duals",
     "set_constraint_params", "state_violation", "control_violation",
+    "dynamics_violation_vector",
 ]

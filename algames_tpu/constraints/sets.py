@@ -495,6 +495,15 @@ def state_violation(gc: GameConstraints, traj) -> jnp.ndarray:
     return vio
 
 
+def dynamics_violation_vector(model, spec, traj) -> jnp.ndarray:
+    """Max-abs RK2 dynamics defect per interval, [T] (the per-knot vector the
+    reference keeps in ``DynamicsViolation.vio``,
+    ``src/struct/violations.jl:16-24``; the scalar max is
+    ``problem.residual.dynamics_violation``)."""
+    from ..problem.residual import dynamics_residual
+    return jnp.max(jnp.abs(dynamics_residual(model, spec, traj)), axis=1)
+
+
 def control_violation(gc: GameConstraints, traj) -> jnp.ndarray:
     """Max control-constraint violation per interval, [T]
     (reference ``control_violation``, ``src/struct/violations.jl:57-67``)."""

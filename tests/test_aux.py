@@ -156,3 +156,59 @@ def test_regularizer_penalty_shims():
     assert r.x == 6.0
     pen = ag.Penalty(rho=5.0)
     assert pen.rho == 5.0 and pen.rho_trial == 1.0
+
+
+def test_timed_solve_matches_and_times():
+    """``profiling.timed_solve`` (the reference ``Statistics.t_elap``
+    diagnostic, ``solver_methods.jl:40-41``) runs the identical iteration
+    state machine: bitwise-equal trajectories, one wall-time entry per
+    executed inner iteration."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    import algames_tpu as ag
+    from algames_tpu.presets import PRESETS
+
+    prob, _ = PRESETS["di2_N10"](dtype=jnp.float64)
+    ref = ag.newton_solve_jit(prob, method="schur")
+    out, t_elap = ag.profiling.timed_solve(prob, method="schur")
+    assert int(out.stats.iter) == int(ref.stats.iter)
+    np.testing.assert_array_equal(np.asarray(out.traj.x),
+                                  np.asarray(ref.traj.x))
+    # one entry per inner iteration (the final stats row is the closing
+    # record, not an iteration), all positive
+    assert len(t_elap) == int(ref.stats.iter) - 1
+    assert all(t > 0 for t in t_elap)
+
+
+def test_dynamics_violation_vector():
+    """Per-knot dynamics-defect vector (reference ``DynamicsViolation.vio``,
+    ``src/struct/violations.jl:16-24``): zero along an exact RK2 rollout
+    except where the trajectory is perturbed."""
+    import jax
+    import jax.numpy as jnp
+
+    import algames_tpu as ag
+    from algames_tpu.core.traj import PrimalDual, init_traj
+    from algames_tpu.models.integration import rk2_step
+
+    model = ag.unicycle_game(p=2)
+    spec = ag.spec_from_model(model, 10, 0.1)
+    key = jax.random.PRNGKey(3)
+    traj = init_traj(spec, jnp.zeros(spec.n, jnp.float64), key=key,
+                     amplitude=0.1)
+    # RK2-consistent rollout -> zero defects
+    xs = [traj.x[0]]
+    for t in range(spec.T):
+        xs.append(rk2_step(model, xs[-1], traj.u[t], spec.dt))
+    traj = PrimalDual(x=jnp.stack(xs), u=traj.u, lam=traj.lam)
+    v = ag.dynamics_violation_vector(model, spec, traj)
+    assert v.shape == (spec.T,)
+    assert float(jnp.max(v)) < 1e-12
+    # perturb knot 4 -> only defects at intervals 3 (misses it as target)
+    # and 4 (starts from it) light up
+    traj2 = PrimalDual(x=traj.x.at[4].add(0.5), u=traj.u, lam=traj.lam)
+    v2 = ag.dynamics_violation_vector(model, spec, traj2)
+    assert float(v2[3]) > 0.1 and float(v2[4]) > 0.01
+    mask = jnp.ones(spec.T, bool).at[3].set(False).at[4].set(False)
+    assert float(jnp.max(jnp.where(mask, v2, 0.0))) < 1e-12
