@@ -356,7 +356,9 @@ def point_lite_res(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
         return jax.vmap(pull)(lams_k)            # ([p, n], [p, m])
     gx, gu = jax.vmap(_pull, in_axes=(0, 0, 1))(
         traj.x[:-1], traj.u, traj.lam)           # [T, p, n], [T, p, m]
-    rx = rx.at[:-1].add(gx[1:])
+    # Shifted add as concat-pad, not .at[:-1].add — the dynamic-update-slice
+    # write cost ~4% of device time in the round-3 profile.
+    rx = rx + jnp.concatenate([gx[1:], jnp.zeros_like(gx[:1])], axis=0)
     rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
     ru = ru + gu[:, owner, np.arange(m)]
 

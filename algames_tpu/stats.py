@@ -104,8 +104,13 @@ def record(stats: Statistics, active, outer, res, delta, alpha,
     i = jnp.minimum(stats.iter, cap - 1)
     row = jnp.stack([jnp.asarray(v, stats.data.dtype) for v in
                      (res, delta, alpha, dyn_vio, con_vio, sta_vio, opt_vio)])
+    # One-hot row blend instead of .at[i].set: a dynamic-update-slice is a
+    # partial-tile VMEM write on TPU and showed up at ~6% of device time in
+    # the round-3 hlo_stats profile; the [cap, 7] dense select fuses into
+    # the surrounding elementwise ops.
+    hit = (jnp.arange(cap) == i) & active
     return Statistics(
         iter=jnp.where(active, jnp.minimum(stats.iter + 1, cap), stats.iter),
-        outer=jnp.where(active, stats.outer.at[i].set(outer), stats.outer),
-        data=jnp.where(active, stats.data.at[i].set(row), stats.data),
+        outer=jnp.where(hit, outer, stats.outer),
+        data=jnp.where(hit[:, None], row[None, :], stats.data),
     )
