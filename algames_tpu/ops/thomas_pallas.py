@@ -13,13 +13,23 @@ across 128 scenarios on the VPU.  Per-lane matrix products are unrolled
 loops of rank-1 multiply-adds (dims n=O(12) are far below MXU tile size;
 the batch provides the parallel width instead).
 
-The reduced (u, x) system is solved by Gaussian elimination WITHOUT row
-pivoting in the (u-first, x-second) ordering: the u-block pivots are the
-strictly positive regularized control-Hessian diagonal, and the trailing
-x-block pivots come from the dynamics Schur complement ``-I + O(...)``.
-This is the pivoting-free design risk called out in SURVEY.md §7 (hard part
-1); it is validated against the pivoted XLA path across the full AL penalty
-schedule in tests, and callers can always fall back to ``method="schur"``.
+The reduced (u, x) system is solved by Gaussian elimination WITH row
+partial pivoting (the round-4 default).  Pivot rows are selected per lane by
+a max-|entry| one-hot mask and "swapped" virtually — the rank-1 update is
+masked to unpivoted rows and the normalized pivot row is saved for a cheap
+back substitution — so the lane-last layout never needs a scatter or a
+per-lane gather.  Rationale (measured on the flagship KKT systems, f32):
+
+* the round-3 pivoting-free Gauss-Jordan loop loses ~1e-1 relative accuracy
+  at AL penalty mu=1e7 (``benchmarks/results/pallas_tpu_validation.json``):
+  Gauss-Jordan's forward error scales with cond(K) ~ mu, and the stable
+  pivot assignment is mu-dependent (LAPACK pivots the u columns with DYN
+  rows once mu*dt^2 >> 1), so no static ordering or equilibration fixes it;
+* partial-pivoted GE + back substitution tracks the pivoted LAPACK path
+  (~2e-4 at mu=1e7) at ~1.5x the elimination cost.
+
+``pivot=False`` keeps the old Jordan loop for benchmarking; the reference's
+sparse LU is always pivoted (``src/problem/solver_methods.jl:87``).
 """
 from __future__ import annotations
 
@@ -42,7 +52,7 @@ def _mm(A, X):
     return out
 
 
-def _make_fwd_kernel(T, n, m, p, R, BL, owner):
+def _make_fwd_kernel(T, n, m, p, R, BL, owner, pivot=True):
     """``owner[j]`` = player owning control index j (natural row order).
 
     The per-knot KKT precompute (``Kb``/``Rt`` of the round-2 design) is
@@ -80,8 +90,8 @@ def _make_fwd_kernel(T, n, m, p, R, BL, owner):
         a = b[:pn]             # [pn, BL]
         c = b[pn:pn + m]       # [m, BL]
         d0 = b[pn + m:]        # [n, BL]
-        G_prev = G_sc[...]     # [W, pn, BL]
-        y_prev = y_sc[...]     # [W, BL]
+        G_prev = G_sc[...]     # [n, pn, BL]  (x rows of the carry only)
+        y_prev = y_sc[...]     # [n, BL]
 
         # ---- per-knot KKT precompute (fused; round-2 did this in XLA) ----
         # Qsel[r] = Q[owner[r]]: static row gather of each control row's
@@ -114,8 +124,8 @@ def _make_fwd_kernel(T, n, m, p, R, BL, owner):
         ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         neg_eye = -(ri == ci).astype(dtype)[:, :, None]
 
-        # F = -At @ G_prev[:n]  -> [n, pn, BL]
-        F = -_mm(At, G_prev[:n])
+        # F = -At @ G_prev  -> [n, pn, BL]
+        F = -_mm(At, G_prev)
         # FQ = sum_i F_i Q_i
         FQ = _mm(F[:, 0:n, :], Q[0])
         for i in range(1, p):
@@ -132,24 +142,63 @@ def _make_fwd_kernel(T, n, m, p, R, BL, owner):
         for i in range(1, p):
             dGs.append(_mm(F[:, i * n:(i + 1) * n, :], At1T))
         dG = jnp.concatenate(dGs, axis=1)                  # [n, pn, BL]
-        Aty = _mm(At, y_prev[:n][:, None, :])[:, 0, :]     # [n, BL]
+        Aty = _mm(At, y_prev[:, None, :])[:, 0, :]         # [n, BL]
         Fa = _mm(F, a[:, None, :])[:, 0, :]                # [n, BL]
         dy = d0 - Aty + Fa
         RHS = jnp.concatenate(
             [Rt, jnp.concatenate([dG, dy[:, None, :]], axis=1)], axis=0)
 
-        # Gaussian elimination without pivoting on [d, d+R, BL].  The pivot
-        # row is kept in place by biasing its multiplier by -1 (so the rank-1
-        # update leaves exactly the normalized row) — no scatter needed.
         Auga = jnp.concatenate([K, RHS], axis=1)           # [d, d+R, BL]
-        row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
-        for i in range(d):
-            piv = Auga[i, i, :]
-            row = Auga[i] / piv[None, :]
-            onehot = (row_ids == i).astype(Auga.dtype)     # [d, 1]
-            col = Auga[:, i, :] - onehot
-            Auga = Auga - col[:, None, :] * row[None, :, :]
-        sol = Auga[:, d:, :]                               # [d, R, BL]
+        if pivot:
+            # Row-partial-pivoted GE + back substitution, all virtual: the
+            # pivot row is selected per LANE by a one-hot over the max-|.|
+            # unpivoted entry of the column, extracted by a masked reduce
+            # (no per-lane gather), normalized, saved for back substitution,
+            # and the rank-1 update is masked to the rows still in play
+            # (the -1 bias leaves the normalized row in place).  Gauss-
+            # Jordan (the pivot=False path) is cheaper but its error grows
+            # with cond(K) ~ the AL penalty mu — see the module docstring.
+            one = jnp.ones((), dtype)
+            used = jnp.zeros((d, BL), dtype)
+            rid = jax.lax.broadcasted_iota(jnp.int32, (d, BL), 0)
+            rows = []
+            for i in range(d):
+                col = Auga[:, i, :]                        # [d, BL]
+                mag = jnp.where(used > 0, -one, jnp.abs(col))
+                mx = jnp.max(mag, axis=0, keepdims=True)
+                # first row attaining the max (iota/min-reduce tiebreak —
+                # cumsum has no Mosaic lowering)
+                cand = jnp.where(mag == mx, rid, d)
+                sel = jnp.min(cand, axis=0)                # [BL]
+                onehot = (rid == sel[None, :]).astype(dtype)
+                piv = jnp.sum(onehot * col, axis=0)        # [BL]
+                row = (jnp.sum(onehot[:, None, :] * Auga, axis=0)
+                       / piv[None, :])                     # [d+R, BL]
+                colv = col * (one - used) - onehot
+                Auga = Auga - colv[:, None, :] * row[None, :, :]
+                used = used + onehot
+                rows.append(row)
+            # Back substitution in variable order: rows[i] has a unit pivot
+            # at column i, zeros at earlier columns, U entries at j > i.
+            sol_rows = [None] * d
+            for i in range(d - 1, -1, -1):
+                acc = rows[i][d:]                          # [R, BL]
+                for j in range(i + 1, d):
+                    acc = acc - rows[i][j][None, :] * sol_rows[j]
+                sol_rows[i] = acc
+            sol = jnp.stack(sol_rows, axis=0)              # [d, R, BL]
+        else:
+            # Gauss-Jordan without pivoting: the pivot row is kept in place
+            # by biasing its multiplier by -1 (so the rank-1 update leaves
+            # exactly the normalized row) — no scatter needed.
+            row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+            for i in range(d):
+                piv = Auga[i, i, :]
+                row = Auga[i] / piv[None, :]
+                onehot = (row_ids == i).astype(Auga.dtype)  # [d, 1]
+                col = Auga[:, i, :] - onehot
+                Auga = Auga - col[:, None, :] * row[None, :, :]
+            sol = Auga[:, d:, :]                           # [d, R, BL]
         Uu = sol[:m]                                       # u block (first)
         X = sol[m:]                                        # x block
 
@@ -209,42 +258,68 @@ def _make_bwd_kernel(T, n, m, p, BL):
 
 
 def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
-                        interpret: bool = False):
+                        interpret: bool = False, pivot: bool = True):
     """Drop-in replacement for ``solve_tridiagonal_schur`` as two fused
     Pallas kernels, batched: ``jb`` leaves and ``b_knots`` must carry a
-    leading batch axis [B, ...].  Returns [B, S]."""
-    if not spec.homogeneous:
-        raise ValueError(
-            "method='pallas' stacks per-player [p, mi] control tensors and "
-            "requires homogeneous player dimensions; use method='tridiag', "
-            "'cr', or 'dense' for mixed per-player mi/ni")
+    leading batch axis [B, ...].  Returns [B, S].
+
+    Heterogeneous per-player mi (VERDICT r3 #4) is handled by pad-and-mask:
+    every player's control block is padded to max(mi) (player-major order)
+    with identity diagonal rows and zero couplings, so the padded unknowns
+    are exactly decoupled; the kernel is oblivious and the result is
+    gathered back to natural control order (cf. the reference's
+    shape-agnostic sparse LU, ``src/core/newton_core.jl:40-89``).
+    """
     T, n, m, p = spec.T, spec.n, spec.m, spec.p
-    pn, W, d = p * n, spec.W, spec.n + spec.m
-    R = pn + 1
+    pn, W = p * n, spec.W
     B = b_knots.shape[0]
     BL = min(block_lanes, B)
     assert B % BL == 0, "batch must be divisible by the lane block"
     dtype = jb.A.dtype
-    owner = np.zeros((m,), np.int32)
-    for i in range(p):
-        owner[np.asarray(spec.pu[i])] = i
+    if spec.homogeneous:
+        mk = m                               # kernel-visible control width
+        Bm_in, Ub_in, b_in = jb.B, jb.Ublk, b_knots
+        owner = np.zeros((m,), np.int32)
+        for i in range(p):
+            owner[np.asarray(spec.pu[i])] = i
+    else:
+        mmax = max(spec.mi)
+        mk = p * mmax
+        idx = np.full((mk,), m, np.int64)    # m = virtual zero column
+        pad_mask = np.zeros((mk,), np.float64)
+        for i in range(p):
+            idx[i * mmax:i * mmax + spec.mi[i]] = np.asarray(spec.pu[i])
+            pad_mask[i * mmax + spec.mi[i]:(i + 1) * mmax] = 1.0
+        owner = (np.arange(mk) // mmax).astype(np.int32)
+        Bm_in = jnp.concatenate(
+            [jb.B, jnp.zeros((B, T, n, 1), dtype)], axis=3)[:, :, :, idx]
+        Ub_in = (jnp.pad(jb.Ublk, ((0, 0), (0, 0), (0, 1), (0, 1)))
+                 [:, :, idx][:, :, :, idx]
+                 + jnp.asarray(np.diag(pad_mask), dtype))
+        c_pad = jnp.pad(b_knots[:, :, pn:pn + m],
+                        ((0, 0), (0, 0), (0, 1)))[:, :, idx]
+        b_in = jnp.concatenate(
+            [b_knots[:, :, :pn], c_pad, b_knots[:, :, pn + m:]], axis=2)
+    d = n + mk
+    R = pn + 1
 
     # ---- lane-last relayout of the RAW leaves (the only XLA-side work) ---
     # All per-knot KKT precompute (Kb/Rt/BtQ/cG/cy of the round-2 design)
     # happens inside the kernel; XLA's job is reduced to one layout
     # transpose per leaf, ~40% fewer bytes than transposing the precomputed
     # tensors and with no fusion intermediates to re-lay-out.
-    A, Bm, Qb, Ub = jb.A, jb.B, jb.Qblk, jb.Ublk   # [B, T, ...]
+    A, Qb = jb.A, jb.Qblk                          # [B, T, ...]
+    Wk = n + mk + pn                               # kernel-row width
     ins = [
         jnp.transpose(Qb, (1, 2, 3, 4, 0)),        # [T, p, n, n, B]
-        jnp.transpose(Ub, (1, 2, 3, 0)),           # [T, m, m, B]
-        jnp.transpose(Bm, (1, 2, 3, 0)),           # [T, n, m, B]
+        jnp.transpose(Ub_in, (1, 2, 3, 0)),        # [T, mk, mk, B]
+        jnp.transpose(Bm_in, (1, 2, 3, 0)),        # [T, n, mk, B]
         jnp.transpose(A, (1, 2, 3, 0)),            # [T, n, n, B]   A_t
         jnp.transpose(A, (1, 3, 2, 0)),            # [T, n, n, B]   A_t^T
-        jnp.transpose(b_knots, (1, 2, 0)),         # [T, W, B]
+        jnp.transpose(b_in, (1, 2, 0)),            # [T, Wk, B]
     ]
 
-    fwd_kernel = _make_fwd_kernel(T, n, m, p, R, BL, owner)
+    fwd_kernel = _make_fwd_kernel(T, n, mk, p, R, BL, owner, pivot=pivot)
     grid = (B // BL, T)
 
     def in_spec(x, shift_clamp=False):
@@ -283,7 +358,7 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
         interpret=interpret,
     )(*ins)
 
-    bwd_kernel = _make_bwd_kernel(T, n, m, p, BL)
+    bwd_kernel = _make_bwd_kernel(T, n, mk, p, BL)
 
     def rev_spec(x, shift_clamp=False):
         shape = (1,) + x.shape[1:-1] + (BL,)
@@ -304,13 +379,22 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
             rev_spec(ins[4], shift_clamp=True),    # A_{knot+1}^T
             rev_spec(ins[5]),                      # b (a rows)
         ],
-        out_specs=pl.BlockSpec((1, W, BL), lambda bt, t: (T - 1 - t, 0, bt),
+        out_specs=pl.BlockSpec((1, Wk, BL), lambda bt, t: (T - 1 - t, 0, bt),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((T, W, B), dtype),
+        out_shape=jax.ShapeDtypeStruct((T, Wk, B), dtype),
         scratch_shapes=[pltpu.VMEM((pn, BL), dtype)],
         interpret=interpret,
     )(G, yhat, ins[0], ins[4], ins[5])
 
+    if not spec.homogeneous:
+        # Un-pad: gather the real controls back into natural order.
+        mmax = mk // p
+        nat2pm = np.zeros((m,), np.int64)
+        for i in range(p):
+            nat2pm[np.asarray(spec.pu[i])] = i * mmax + np.arange(spec.mi[i])
+        cols = np.concatenate([np.arange(n), n + nat2pm,
+                               n + mk + np.arange(pn)])
+        ys = ys[:, cols]
     # [T, W, B] -> [B, T*W]
     return jnp.transpose(ys, (2, 0, 1)).reshape(B, T * W)
 
@@ -323,7 +407,7 @@ def _largest_block(B: int, cap: int = 128) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def thomas_pallas_for_spec(spec, interpret: bool = False):
+def thomas_pallas_for_spec(spec, interpret: bool = False, pivot: bool = True):
     """Per-sample Thomas solve that dispatches to the lane-batched Pallas
     kernel under ``vmap`` (``jax.custom_batching.custom_vmap``): the solver
     stays written per-scenario, while batched solves hit the fused kernel
@@ -333,7 +417,7 @@ def thomas_pallas_for_spec(spec, interpret: bool = False):
     def solve(jb, b):
         jb1 = jax.tree_util.tree_map(lambda x: x[None], jb)
         return solve_thomas_pallas(spec, jb1, b[None], block_lanes=1,
-                                   interpret=interpret)[0]
+                                   interpret=interpret, pivot=pivot)[0]
 
     @solve.def_vmap
     def _rule(axis_size, in_batched, jb, b):
@@ -348,7 +432,7 @@ def thomas_pallas_for_spec(spec, interpret: bool = False):
         b = bcast(b, b_flag)
         bl = _largest_block(axis_size)
         out = solve_thomas_pallas(spec, jb, b, block_lanes=bl,
-                                  interpret=interpret)
+                                  interpret=interpret, pivot=pivot)
         return out, True
 
     return solve
