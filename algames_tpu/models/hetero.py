@@ -9,8 +9,10 @@ the rest coast).  Layout is player-blocked (pz contiguous, controls packed
 ``[u_0 (mi_0) | u_1 (mi_1) | ...]``) — the spec's index tuples carry the
 raggedness; no interleaving is possible with unequal mi.
 
-Solve with ``method='tridiag'``, ``'cr'`` or ``'dense'`` (the player-stacked
-schur/pallas fast paths require homogeneous mi and raise).
+Every linear-solver method handles mixed mi: ``tridiag``/``cr``/``dense``
+natively, and the player-stacked ``schur``/``pallas`` fast paths by
+pad-and-mask (controls padded to max(mi) with exactly-decoupled identity
+rows; see ``problem/linear_solver.py`` / ``ops/thomas_pallas.py``).
 """
 from __future__ import annotations
 

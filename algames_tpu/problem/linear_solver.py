@@ -201,53 +201,88 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
     """
     import numpy as np
 
-    if not spec.homogeneous:
-        raise ValueError(
-            "method='schur' stacks per-player [p, mi] control tensors and "
-            "requires homogeneous player dimensions; use method='tridiag', "
-            "'cr', or 'dense' for mixed per-player mi/ni")
     T, n, m, p = spec.T, spec.n, spec.m, spec.p
     pn, W = p * n, spec.W
     dtype = jb.A.dtype
-    pu = np.stack([np.asarray(spec.pu[i]) for i in range(p)])   # [p, mi]
     eye_n = jnp.eye(n, dtype=dtype)
 
     zero_n = jnp.zeros((1, n, n), dtype)
     Asub = jnp.concatenate([zero_n, jb.A[1:]], axis=0)   # sub-diag A_t (0 at t=0)
     Asup = jnp.concatenate([jb.A[1:], zero_n], axis=0)   # super-diag A_{t+1} (0 at T-1)
     AsupT = jnp.transpose(Asup, (0, 2, 1))               # At1^T per knot
-    # Per-player control columns of B: [T, p, n, mi].
-    Bp_all = jb.B[:, :, pu.reshape(-1)].reshape(T, n, p, -1).transpose(0, 2, 1, 3)
-
-    # ---- carry-independent precomputation, batched over all T knots -------
-    # Row embeddings by static permutation gather, not scatter (slow
-    # partial-tile VMEM writes on TPU; see ops/thomas_pallas.py).
-    perm = pu.reshape(-1)
-    inv = np.argsort(perm)
-    Q_all = jb.Qblk                                      # [T, p, n, n]
-    BtQ_p = jnp.sum(Bp_all[..., None] * Q_all[:, :, :, None, :],
-                    axis=2)                              # [T, p, mi, n]
-    BtQ = BtQ_p.reshape(T, m, n)[:, inv, :]
-    Kbase = jnp.concatenate([
-        jnp.concatenate([BtQ, jb.Ublk], axis=2),
-        jnp.concatenate([jnp.broadcast_to(-eye_n, (T, n, n)), jb.B], axis=2),
-    ], axis=1)                                           # [T, n+m, n+m]
 
     a_all = b_knots[:, :pn].reshape(T, p, n)             # statx RHS blocks
     c_all = b_knots[:, pn:pn + m]
     d_all = b_knots[:, pn + m:]
+    Q_all = jb.Qblk                                      # [T, p, n, n]
+
+    if spec.homogeneous:
+        # Per-player control columns of B: [T, p, n, mi]; row embeddings by
+        # static permutation gather, not scatter (slow partial-tile VMEM
+        # writes on TPU; see ops/thomas_pallas.py).
+        pu = np.stack([np.asarray(spec.pu[i]) for i in range(p)])  # [p, mi]
+        perm = pu.reshape(-1)
+        inv = np.argsort(perm)
+        Bp_all = (jb.B[:, :, perm].reshape(T, n, p, -1)
+                  .transpose(0, 2, 1, 3))
+        BtQ_p = jnp.sum(Bp_all[..., None] * Q_all[:, :, :, None, :],
+                        axis=2)                          # [T, p, mi, n]
+        BtQ = BtQ_p.reshape(T, m, n)[:, inv, :]
+        Ub_s, B_s, c_s = jb.Ublk, jb.B, c_all
+        ms = m
+    else:
+        # Heterogeneous per-player mi (VERDICT r3 #4): pad every player's
+        # control block to mmax = max(mi) with identity rows / zero
+        # couplings, in PLAYER-MAJOR order.  The padded unknowns satisfy
+        # ``1 * u_pad = 0`` — fully decoupled, the elimination is exact —
+        # closing the capability gap vs the reference's shape-agnostic
+        # sparse LU (``src/core/newton_core.jl:40-89``).
+        mmax = max(spec.mi)
+        ms = p * mmax
+        # idx[r] = natural control index of padded player-major row r, or m
+        # (a virtual zero column) for padding rows.
+        idx = np.full((ms,), m, np.int64)
+        pad_mask = np.zeros((ms,), np.float64)
+        for i in range(p):
+            mi = spec.mi[i]
+            idx[i * mmax:i * mmax + mi] = np.asarray(spec.pu[i])
+            pad_mask[i * mmax + mi:(i + 1) * mmax] = 1.0
+        real = jnp.asarray(1.0 - pad_mask, dtype)
+        pad_eye = jnp.asarray(np.diag(pad_mask), dtype)
+        zcol = jnp.zeros((T, n, 1), dtype)
+        B_ext = jnp.concatenate([jb.B, zcol], axis=2)    # virtual zero col
+        B_s = B_ext[:, :, idx]                           # [T, n, ms]
+        Bp_all = B_s.reshape(T, n, p, mmax).transpose(0, 2, 1, 3)
+        BtQ_p = jnp.sum(Bp_all[..., None] * Q_all[:, :, :, None, :],
+                        axis=2)                          # [T, p, mmax, n]
+        BtQ = BtQ_p.reshape(T, ms, n)
+        Ub_ext = jnp.pad(jb.Ublk, ((0, 0), (0, 1), (0, 1)))
+        Ub_s = Ub_ext[:, idx][:, :, idx] + pad_eye[None]
+        c_ext = jnp.pad(c_all, ((0, 0), (0, 1)))
+        c_s = c_ext[:, idx]
+        perm = idx  # for the final un-permutation below
+        inv = None
+
+    Kbase = jnp.concatenate([
+        jnp.concatenate([BtQ, Ub_s], axis=2),
+        jnp.concatenate([jnp.broadcast_to(-eye_n, (T, n, n)), B_s], axis=2),
+    ], axis=1)                                           # [T, n+ms, n+ms]
+
     cG_p = jnp.sum(Bp_all[..., None] * AsupT[:, None, :, None, :],
-                   axis=2)                             # [T, p, mi, n]
+                   axis=2)                             # [T, p, mi|mmax, n]
     eye_p = jnp.asarray(np.eye(p), dtype)
     cG_bd = (cG_p[:, :, :, None, :]
-             * eye_p[None, :, None, :, None])            # [T, p, mi, p, n]
-    cG = cG_bd.reshape(T, m, pn)[:, inv, :]
-    cy_add = jnp.sum(Bp_all * a_all[..., None], axis=2)  # [T, p, mi]
-    cy = c_all + cy_add.reshape(T, m)[:, inv]
-    RHS_top = jnp.concatenate([cG, cy[:, :, None]], axis=2)  # [T, m, pn+1]
+             * eye_p[None, :, None, :, None])            # [T, p, ., p, n]
+    cG = cG_bd.reshape(T, ms, pn)
+    cy_add = jnp.sum(Bp_all * a_all[..., None], axis=2)  # [T, p, mi|mmax]
+    cy = c_s + cy_add.reshape(T, ms)
+    if spec.homogeneous:
+        cG = cG[:, inv, :]
+        cy = c_all + cy_add.reshape(T, m)[:, inv]
+    RHS_top = jnp.concatenate([cG, cy[:, :, None]], axis=2)  # [T, ms, pn+1]
 
     def fwd(carry, inp):
-        # Carry holds only the (x, u) rows [d = n+m]: the recursion reads
+        # Carry holds only the (x, u) rows [d = n+ms]: the recursion reads
         # just the x rows, and the multipliers are reconstructed during the
         # backward sweep from the statx relation (see ``bwd``).
         G_prev, y_prev = carry                       # [d, pn], [d]
@@ -256,19 +291,19 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
         F = -At @ G_prev[:n]                         # [n, pn]
         F3 = F.reshape(n, p, n)
         FQ = jnp.einsum('aib,ibq->aq', F3, Q)        # [n, n]
-        K = Kb.at[m:, :n].add(FQ)
+        K = Kb.at[ms:, :n].add(FQ)
 
         dG = jnp.einsum('aib,bq->aiq', F3, At1T).reshape(n, pn)
         dy = (d0 - At @ y_prev[:n]
               + jnp.einsum('aib,ib->a', F3, a))
         RHS = jnp.concatenate(
             [Rt, jnp.concatenate([dG, dy[:, None]], axis=1)], axis=0)
-        sol = jnp.linalg.solve(K, RHS)               # [(n+m), pn+1]
+        sol = jnp.linalg.solve(K, RHS)               # [(n+ms), pn+1]
         G_t = sol[:, :pn]                            # rows (x, u)
         y_t = sol[:, pn]
         return (G_t, y_t), (G_t, y_t)
 
-    d_rows = n + m
+    d_rows = n + ms
     init = (jnp.zeros((d_rows, pn), dtype), jnp.zeros((d_rows,), dtype))
     _, (G, yhat) = jax.lax.scan(
         fwd, init,
@@ -288,4 +323,14 @@ def solve_tridiagonal_schur(spec, jb, b_knots):
 
     _, ys = jax.lax.scan(bwd, jnp.zeros((pn,), dtype),
                          (G, yhat, Q_all, AsupT, a_all), reverse=True)
+    if not spec.homogeneous:
+        # Un-pad: gather the real controls back into natural order.
+        nat2pm = np.zeros((m,), np.int64)
+        off = 0
+        mmax = ms // p
+        for i in range(p):
+            nat2pm[np.asarray(spec.pu[i])] = i * mmax + np.arange(spec.mi[i])
+        cols = np.concatenate([np.arange(n), n + nat2pm,
+                               n + ms + np.arange(pn)])
+        ys = ys[:, cols]
     return ys.reshape(-1)

@@ -93,7 +93,8 @@ def test_jacobian_equals_autodiff_mixed_mi():
     # the knot-blocked tridiagonal path assembles/solves the same operator
     from algames_tpu.problem.linear_solver import (solve_cyclic_reduction,
                                                    solve_dense,
-                                                   solve_tridiagonal)
+                                                   solve_tridiagonal,
+                                                   solve_tridiagonal_schur)
     D, U, L = R.build_tridiagonal(spec, jb)
     b = jax.random.normal(jax.random.PRNGKey(7), (spec.T, spec.W),
                           jnp.float64)
@@ -105,24 +106,46 @@ def test_jacobian_equals_autodiff_mixed_mi():
 
 
 def test_hetero_solve_matches_dense_oracle():
-    """Full Newton/AL solve at mixed mi: tridiag and cr match the dense
-    oracle and converge to the reference tolerances."""
+    """Full Newton/AL solve at mixed mi: every structured method — including
+    the pad-and-mask schur/pallas fast paths (VERDICT r3 #4) — matches the
+    dense oracle and converges to the reference tolerances."""
     prob, spec = _prob()
     ref = ag.newton_solve_jit(prob, method="dense")
     it = int(ref.stats.iter)
     vio = {k: float(getattr(ref.stats, k)[it - 1])
            for k in ("dyn_vio", "con_vio", "sta_vio", "opt_vio")}
     assert all(v < 1e-3 for v in vio.values()), vio
-    for method in ("tridiag", "cr"):
+    for method in ("tridiag", "cr", "schur", "pallas_interpret"):
         out = ag.newton_solve_jit(prob, method=method)
         np.testing.assert_allclose(np.asarray(out.traj.x),
                                    np.asarray(ref.traj.x),
                                    rtol=0, atol=1e-8)
 
 
-def test_hetero_schur_pallas_refuse():
+def test_hetero_schur_pallas_kkt_oracle():
+    """KKT-level: the padded schur sweep and Pallas kernel reproduce the
+    dense-oracle step at a random iterate with ragged mi=(2, 1)."""
+    from algames_tpu.ops.thomas_pallas import solve_thomas_pallas
+    from algames_tpu.problem.linear_solver import (solve_dense,
+                                                   solve_tridiagonal_schur)
+
     prob, spec = _prob()
-    with pytest.raises(ValueError, match="homogeneous"):
-        ag.newton_solve(prob, method="schur")
-    with pytest.raises(ValueError, match="homogeneous"):
-        ag.newton_solve(prob, method="pallas_interpret")
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 3)
+    traj = ag.PrimalDual(
+        x=0.3 * jax.random.normal(ks[0], (spec.N, spec.n), jnp.float64),
+        u=0.3 * jax.random.normal(ks[1], (spec.T, spec.m), jnp.float64),
+        lam=0.3 * jax.random.normal(ks[2], (spec.p, spec.T, spec.n),
+                                    jnp.float64))
+    res, jb, _, _ = R.assemble(prob.model, spec, prob.obj, prob.gc, traj,
+                               reg=1e-3)
+    b = R.residual_knot_blocks(spec, res)
+    D, U, L = R.build_tridiagonal(spec, jb)
+    y_or = np.asarray(solve_dense(spec, D, U, L, -b))
+    scale = np.abs(y_or).max()
+    y_s = np.asarray(solve_tridiagonal_schur(spec, jb, -b))
+    np.testing.assert_allclose(y_s, y_or, rtol=0, atol=1e-10 * scale)
+    jb1 = jax.tree_util.tree_map(lambda x: x[None], jb)
+    y_p = np.asarray(solve_thomas_pallas(spec, jb1, -b[None],
+                                         block_lanes=1, interpret=True))[0]
+    np.testing.assert_allclose(y_p, y_or, rtol=0, atol=1e-10 * scale)
