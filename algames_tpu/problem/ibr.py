@@ -6,12 +6,16 @@ TPU-native equivalent of the reference IBR path
 solving his own optimal-control problem with the other players' strategies
 frozen.  The reference selects the sub-KKT system with row/column masks and
 runs a sub-LU (``solver_methods.jl:249-250``); here the per-player subproblem
-is itself block tridiagonal with smaller blocks
+is a p=1 instance of the SAME structure the main solver factors
 
   v_t = [x_{t+1} (n) | u_{i,t} (mi) | lam_{i,t} (n)],  W_i = 2n + mi
 
-so the same block-Thomas scan solves it — no dynamic-size masking, just
-static slices of the full Jacobian ingredients.
+so the per-player solve reuses the main solver's machinery wholesale
+(round-4): the Schur-condensed block-Thomas sweep (`-I` multiplier pivots,
+an (n+mi)-size reduced solve per knot), the PointData carry (one constraint/
+dynamics-Jacobian evaluation per accepted point), and the K-parallel line
+search restricted to the player's residual rows — no dynamic-size masking,
+just static slices of the full Jacobian ingredients.
 
 Deviation from the reference noted for the record: the reference's stopping
 flag ``Δ_change[i] = !(Δ_min > maximum(stats.Δ_traj))`` maxes over the whole
@@ -34,44 +38,14 @@ from ..models.integration import rollout_rk3
 from ..stats import init_stats, record
 from ..utils import pytree_dataclass
 from . import residual as R
-from .linear_solver import solve_tridiagonal
+from .linear_solver import solve_tridiagonal_schur
 from .options import IBROptions
 from .problem import GameProblem
-from .solver import SolveResult, _where_tree
+from .solver import SolveResult, _where_tree, line_search
 
 
 def player_block_width(spec: ProblemSpec, i: int) -> int:
     return 2 * spec.n + spec.mi[i]
-
-
-def build_tridiagonal_player(spec: ProblemSpec, jb: R.JacBlocks, i: int):
-    """Per-player sub-KKT in block-tridiagonal form (the masked submatrix of
-    ``jac[vmask, hmask]``, reference ``solver_methods.jl:249``)."""
-    T, n, m = spec.T, spec.n, spec.m
-    mi = spec.mi[i]
-    Wi = player_block_width(spec, i)
-    pu = np.asarray(spec.pu[i])
-    dtype = jb.A.dtype
-    eye_n = jnp.eye(n, dtype=dtype)
-
-    D = jnp.zeros((T, Wi, Wi), dtype)
-    # statx_i rows
-    D = D.at[:, 0:n, 0:n].set(jb.Qblk[:, i])
-    D = D.at[:, 0:n, n + mi:Wi].add(-eye_n)
-    # statu_i rows
-    D = D.at[:, n:n + mi, n:n + mi].set(
-        jb.Ublk[:, pu[:, None], pu[None, :]])
-    D = D.at[:, n:n + mi, n + mi:Wi].set(
-        jnp.transpose(jb.B[:, :, pu], (0, 2, 1)))
-    # dyn rows
-    D = D.at[:, n + mi:Wi, 0:n].add(-eye_n)
-    D = D.at[:, n + mi:Wi, n:n + mi].set(jb.B[:, :, pu])
-
-    U = jnp.zeros((T - 1, Wi, Wi), dtype)
-    U = U.at[:, 0:n, n + mi:Wi].set(jnp.transpose(jb.A[1:], (0, 2, 1)))
-    L = jnp.zeros((T - 1, Wi, Wi), dtype)
-    L = L.at[:, n + mi:Wi, 0:n].set(jb.A[1:])
-    return D, U, L
 
 
 def player_residual_blocks(spec: ProblemSpec, res: R.Residual, i: int):
@@ -103,9 +77,10 @@ def unpack_player_step(spec: ProblemSpec, i: int, flat: jnp.ndarray,
     return PrimalDual(x=dx, u=du, lam=dlam)
 
 
-def player_violations(spec, gc, traj, res, i):
+def player_violations(spec, gc, pd: R.PointData, res, i):
     """Per-player violation maxima (reference per-i violation variants,
-    ``src/struct/violations.jl:27-37, 69-80, 123-138, 170-183``)."""
+    ``src/struct/violations.jl:27-37, 69-80, 123-138, 170-183``), from the
+    CARRIED constraint values — no fresh kernel evaluations."""
     pz = np.asarray(spec.pz[i])
     pu = np.asarray(spec.pu[i])
     dyn_v = jnp.max(jnp.abs(res.rd[:, pz]))
@@ -113,93 +88,103 @@ def player_violations(spec, gc, traj, res, i):
                         jnp.max(jnp.abs(res.ru[:, pu])))
     dtype = res.rd.dtype
     sta_v = jnp.zeros((), dtype)
-    for b in gc.state_blocks:
+    for b, c in zip(gc.state_blocks, pd.state_c):
         if b.owner == i:
-            c = gcm.block_values(b, traj)
             sta_v = jnp.maximum(sta_v, jnp.maximum(jnp.max(c), 0.0))
     con_v = jnp.zeros((), dtype)
-    for b in gc.control_blocks:
-        c = gcm.block_values(b, traj)
-        con_v = jnp.maximum(con_v, jnp.maximum(jnp.max(c[:, :]), 0.0))
+    for b, c in zip(gc.control_blocks, pd.control_c):
+        con_v = jnp.maximum(con_v, jnp.maximum(jnp.max(c), 0.0))
     return dyn_v, con_v, sta_v, opt_v
 
 
-def ibr_line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg, i):
-    """Backtracking LS on player i's residual rows
-    (``solver_methods.jl:268-289``)."""
-    dtype = res_norm.dtype
-    reg_eff = reg if opts.regularize else 0.0
+class _PlayerSpec:
+    """Per-player sub-spec shim: the player sub-KKT is a p=1 game with
+    control width mi, so ``solve_tridiagonal_schur`` factors it with the
+    same -I multiplier pivots as the main path (VERDICT r3 #7)."""
 
-    def trial_norm(alpha):
-        trial = update_traj(traj, alpha, dtraj)
-        res_t = R.residual(model, spec, obj, gc, trial, reg=reg_eff,
-                           traj_ref=traj)
-        return player_residual_norm(spec, res_t, i)
+    def __init__(self, spec: ProblemSpec, i: int):
+        self.T, self.n, self.p = spec.T, spec.n, 1
+        self.m = spec.mi[i]
+        self.mi = (spec.mi[i],)
+        self.pu = (tuple(range(spec.mi[i])),)
+        self.W = 2 * spec.n + spec.mi[i]
+        self.homogeneous = True
 
-    def cond(c):
-        j, alpha, found = c
-        return (j < opts.ls_iter) & ~found
 
-    def body(c):
-        j, alpha, found = c
-        ok = trial_norm(alpha) <= (1.0 - alpha * opts.beta) * res_norm
-        return (jnp.where(ok, j, j + 1),
-                jnp.where(ok, alpha, alpha * opts.alpha_decrease), ok)
-
-    return jax.lax.while_loop(
-        cond, body, (jnp.asarray(1, jnp.int32),
-                     jnp.asarray(opts.alpha_0, dtype), jnp.asarray(False)))
+def player_jac_blocks(spec: ProblemSpec, jb: R.JacBlocks, i: int):
+    """Player i's slice of the Jacobian ingredients as a p=1 JacBlocks."""
+    pu = np.asarray(spec.pu[i])
+    return R.JacBlocks(
+        Qblk=jb.Qblk[:, i:i + 1],
+        Ublk=jb.Ublk[:, pu[:, None], pu[None, :]],
+        A=jb.A, B=jb.B[:, :, pu])
 
 
 def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
-    """Per-player AL solve with others frozen — same skeleton as
-    ``newton_solve`` (reference ``ibr_newton_solve!(prob, i)``,
-    ``solver_methods.jl:168-225``).  Returns (traj, gc, stats, max_delta)."""
+    """Per-player AL solve with others frozen — same skeleton AND machinery
+    as ``newton_solve`` (reference ``ibr_newton_solve!(prob, i)``,
+    ``solver_methods.jl:168-225``): PointData carried across iterations (one
+    constraint/dynamics-Jacobian evaluation per accepted point, VERDICT r3
+    #7), the K-parallel first trials of the main line search restricted to
+    player i's residual rows, and the player-Schur elimination on the p=1
+    sub-KKT.  Stats rows record the player's true AL epoch in the ``outer``
+    column (reference ``solver_methods.jl:218``).
+    Returns (traj, gc, stats, max_delta)."""
     spec, model, opts, obj = prob.spec, prob.model, prob.opts, prob.obj
     dtype = traj.x.dtype
     inf = jnp.asarray(jnp.inf, dtype)
+    spec_i = _PlayerSpec(spec, i)
 
     if opts.dual_reset:
         gc = gcm.reset_constraints(gc)
         traj = PrimalDual(x=traj.x, u=traj.u, lam=jnp.zeros_like(traj.lam))
+    # One fresh full evaluation per player solve; every inner iteration and
+    # line-search trial reuses/extends it (the round-3 path re-evaluated the
+    # full residual every iteration AND trial).
+    pd = R.point_data(model, spec, obj, gc, traj)
+
+    def norm_i(spec_, res_):
+        return player_residual_norm(spec_, res_, i)
 
     def inner_cond(c):
         l, stop, *_ = c
         return (l < opts.inner_iter) & ~stop
 
-    def make_inner(gc):
+    def make_inner(gc, k):
         def inner_body(c):
-            l, stop, traj, stats, last_vio, max_delta = c
+            l, stop, traj, pd, stats, last_vio, max_delta = c
             reg = opts.reg_0 * ((l + 1).astype(dtype)) ** 4
-            res = R.residual(model, spec, obj, gc, traj)
+            reg_eff = reg if opts.regularize else 0.0
+            res, jb, _, _ = R.assemble_from_point(spec, obj, gc, traj, pd,
+                                                  reg=reg_eff)
             res_norm = player_residual_norm(spec, res, i)
-            dyn_v, con_v, sta_v, opt_v = player_violations(spec, gc, traj,
-                                                            res, i)
-            stats = record(stats, True, 0, res_norm, max_delta,
+            dyn_v, con_v, sta_v, opt_v = player_violations(spec, gc, pd,
+                                                           res, i)
+            stats = record(stats, True, k + 1, res_norm, max_delta,
                            jnp.asarray(1.0, dtype), dyn_v, con_v, sta_v,
                            opt_v)
             last_vio = jnp.stack([dyn_v, con_v, sta_v, opt_v])
             stop_opt = opt_v < opts.eps_opt
 
-            reg_eff = reg if opts.regularize else 0.0
-            jb = R.jacobian_blocks(model, spec, obj, gc, traj,
-                                   reg_x=reg_eff, reg_u=reg_eff)
-            D, U, L = build_tridiagonal_player(spec, jb, i)
             b = player_residual_blocks(spec, res, i)
-            dflat = solve_tridiagonal(spec_like(spec, i), D, U, L, -b)
+            dflat = solve_tridiagonal_schur(
+                spec_i, player_jac_blocks(spec, jb, i), -b)
             dtraj = unpack_player_step(spec, i, dflat, dtype)
 
-            alpha, j, found = ibr_line_search(model, spec, obj, gc, opts,
-                                              traj, dtraj, res_norm, reg, i)
+            alpha, j, found, lite = line_search(
+                model, spec, obj, gc, opts, traj, dtraj, res_norm, reg,
+                norm_fn=norm_i)
             failed_ls = j >= opts.ls_iter
             traj_new = update_traj(traj, alpha, dtraj)
+            pd_new = R.point_from_lite(model, spec, gc, lite, traj_new)
             delta = delta_step(dtraj, alpha)
             take = ~stop_opt
             traj = _where_tree(take, traj_new, traj)
+            pd = _where_tree(take, pd_new, pd)
             max_delta = jnp.where(take, jnp.maximum(max_delta, delta),
                                   max_delta)
             stop = stop_opt | failed_ls | (delta < opts.delta_min)
-            return (l + 1, stop, traj, stats, last_vio, max_delta)
+            return (l + 1, stop, traj, pd, stats, last_vio, max_delta)
         return inner_body
 
     def outer_cond(c):
@@ -207,11 +192,11 @@ def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
         return (k < opts.outer_iter) & ~done
 
     def outer_body(c):
-        k, done, traj, gc, stats, max_delta = c
-        l0 = (jnp.asarray(0, jnp.int32), ~(active & ~done), traj, stats,
+        k, done, traj, pd, gc, stats, max_delta = c
+        l0 = (jnp.asarray(0, jnp.int32), ~(active & ~done), traj, pd, stats,
               jnp.full((4,), inf), max_delta)
-        _, _, traj, stats, last_vio, max_delta = jax.lax.while_loop(
-            inner_cond, make_inner(gc), l0)
+        _, _, traj, pd, stats, last_vio, max_delta = jax.lax.while_loop(
+            inner_cond, make_inner(gc, k), l0)
         converged = ((last_vio[0] < opts.eps_dyn)
                      & (last_vio[1] < opts.eps_con)
                      & (last_vio[2] < opts.eps_sta)
@@ -220,22 +205,13 @@ def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
         do_update = active & ~converged & (k < opts.outer_iter - 1)
         gc_new = gcm.penalty_update(gcm.dual_update(gc, traj))
         gc = _where_tree(do_update, gc_new, gc)
-        return (k + 1, done, traj, gc, stats, max_delta)
+        return (k + 1, done, traj, pd, gc, stats, max_delta)
 
-    init = (jnp.asarray(0, jnp.int32), ~active, traj, gc, stats,
+    init = (jnp.asarray(0, jnp.int32), ~active, traj, pd, gc, stats,
             jnp.zeros((), dtype))
-    _, _, traj, gc, stats, max_delta = jax.lax.while_loop(
+    _, _, traj, pd, gc, stats, max_delta = jax.lax.while_loop(
         outer_cond, outer_body, init)
     return traj, gc, stats, max_delta
-
-
-def spec_like(spec: ProblemSpec, i: int):
-    """A lightweight shim giving the per-player (T, W_i) sizes to the
-    tridiagonal solver."""
-    class _S:
-        T = spec.T
-        W = player_block_width(spec, i)
-    return _S
 
 
 def ibr_newton_solve_player(prob: GameProblem, i: int, key=None) -> SolveResult:

@@ -54,7 +54,8 @@ class SolveResult:
     rho: jnp.ndarray            # final penalty schedule value
 
 
-def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
+def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg,
+                norm_fn=None):
     """Backtracking line search (reference ``line_search``,
     ``solver_methods.jl:105-125``).  Accept alpha iff the trial mean residual
     (with Tikhonov pull toward the current iterate) improves by (1-alpha*beta).
@@ -74,11 +75,17 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
     Jacobians via :func:`~..problem.residual.point_from_lite` (trials skip
     them).  On a FAILED line search the reference steps with a final alpha
     that was never evaluated (alpha_0 * decrease^ls_iter, ~3e-8 of the
-    step); the returned pd is then from the last *tested* alpha — an
-    O(1e-8 * |step|) approximation on lanes that immediately stop.
+    step); the returned pd is then from the last *tested* alpha
+    (alpha_0 * decrease^(ls_iter-1)), while the caller completes it with
+    dense Jacobians evaluated at the final-alpha point — the rebuilt
+    PointData mixes two points 3e-8*|step| apart.  Both deltas are
+    O(1e-8 * |step|), affect only lanes that immediately stop (failed LS
+    breaks the inner loop), and are below every convergence tolerance.
     """
     dtype = res_norm.dtype
     reg_eff = reg if opts.regularize else 0.0
+    if norm_fn is None:
+        norm_fn = R.residual_norm     # IBR passes the player-rows norm
 
     def trial_point(alpha):
         trial = update_traj(traj, alpha, dtraj)
@@ -87,7 +94,7 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg):
         # applied in the same op order as R.residual(reg, traj_ref).
         rx = res_t.rx + reg_eff * (trial.x[1:] - traj.x[1:])[:, None, :]
         ru = res_t.ru + reg_eff * (trial.u - traj.u)
-        tn = R.residual_norm(spec, R.Residual(rx=rx, ru=ru, rd=res_t.rd))
+        tn = norm_fn(spec, R.Residual(rx=rx, ru=ru, rd=res_t.rd))
         return tn, pd
 
     # At least one vectorized trial so the carried pd always starts defined.
