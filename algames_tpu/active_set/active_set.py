@@ -133,6 +133,82 @@ def extended_jacobian(prob: GameProblem, traj: PrimalDual) -> jnp.ndarray:
     return J
 
 
+def _pair_jacobians(prob: GameProblem, traj: PrimalDual, pairs):
+    """Collision-constraint position Jacobians [T, n] per pair (zero when the
+    pair has no constraint), evaluated once from the existing kernels."""
+    spec = prob.spec
+    out = []
+    for (i, j) in pairs:
+        blk = get_collision_block(prob.gc, spec, i, j)
+        if blk is None:
+            out.append(jnp.zeros((spec.T, spec.n), traj.x.dtype))
+        else:
+            out.append(gcm.block_jacobian(blk, traj)[:, 0, :])
+    return out
+
+
+def extended_jacobian_knotrows(prob: GameProblem, traj: PrimalDual,
+                               jb=None) -> jnp.ndarray:
+    """[Sv, Sh] extended Jacobian, assembled block-natively (VERDICT r3 #6).
+
+    Identical column order to :func:`extended_jacobian` (spec per-knot
+    columns ++ appended ordered-pair duals) but base rows in PER-KNOT
+    equation order (statx | statu | dyn per knot) instead of the reference's
+    player-major vertical order — a pure row permutation, so every
+    row-order-invariant consumer (nullspace span/dimension, singular values,
+    masked SVD) is unchanged while the assembly is scatter-free: the
+    ~O(T·p^2) traced ``.at[].add`` updates of the reference-ordered builder
+    become three einsum embeddings of the existing block-tridiagonal
+    (D, U, L) blocks plus two static concats for the appended
+    rows/columns.  Jits in seconds at round4 scale (p=4, N=40) and vmaps
+    over trajectory batches.  Reference: ``active_set_methods.jl:130-170``.
+    """
+    spec = prob.spec
+    T, W, n = spec.T, spec.W, spec.n
+    dtype = traj.x.dtype
+    if jb is None:
+        jb = R.jacobian_blocks(prob.model, spec, prob.obj, prob.gc, traj)
+    D, U, L = R.build_tridiagonal(spec, jb)
+    eyeT = jnp.eye(T, dtype=dtype)
+    sup = jnp.eye(T, k=1, dtype=dtype)
+    sub = jnp.eye(T, k=-1, dtype=dtype)
+    zW = jnp.zeros((1, W, W), dtype)
+    Upad = jnp.concatenate([U, zW], axis=0)      # row t couples col t+1
+    Lpad = jnp.concatenate([zW, L], axis=0)      # row t couples col t-1
+    base = (jnp.einsum('ts,twv->twsv', eyeT, D)
+            + jnp.einsum('ts,twv->twsv', sup, Upad)
+            + jnp.einsum('ts,twv->twsv', sub, Lpad)).reshape(T * W, T * W)
+
+    # Appended dual columns: ordered pair (i, j) at knot k couples the
+    # statx rows of player i in the SAME knot block (variable x_k lives in
+    # block k-1, and so does the appended column k) — block-diagonal embed.
+    opairs = ordered_pairs(spec.p)
+    nop = len(opairs)
+    cols = []
+    for (i, j), jac in zip(opairs, _pair_jacobians(prob, traj, opairs)):
+        cols.append(jnp.concatenate(
+            [jnp.zeros((T, i * n), dtype), jac,
+             jnp.zeros((T, W - (i + 1) * n), dtype)], axis=1))
+    Call = jnp.stack(cols, axis=2)               # [T, W, nop]
+    right = jnp.einsum('ts,twq->twsq', eyeT, Call).reshape(T * W, T * nop)
+
+    # Appended constraint rows: unordered pair at knot k reads the x columns
+    # of block k-1 — block-diagonal embed again.
+    upairs = unordered_pairs(spec.p)
+    nup = len(upairs)
+    rows = []
+    for (i, j), jac in zip(upairs, _pair_jacobians(prob, traj, upairs)):
+        rows.append(jnp.concatenate(
+            [jac, jnp.zeros((T, W - n), dtype)], axis=1))
+    Rall = jnp.stack(rows, axis=1)               # [T, nup, W]
+    bottom = jnp.einsum('ts,tuw->tusw', eyeT, Rall).reshape(T * nup, T * W)
+
+    zbr = jnp.zeros((T * nup, T * nop), dtype)
+    return jnp.concatenate(
+        [jnp.concatenate([base, right], axis=1),
+         jnp.concatenate([bottom, zbr], axis=1)], axis=0)
+
+
 def active_masks(prob: GameProblem, gc: gcm.GameConstraints):
     """(vmask, hmask): indices 0..S-1 plus the appended entries whose
     collision constraint is active (reference ``active_vertical_mask!`` /
@@ -229,7 +305,7 @@ def update_nullspace_masked(prob: GameProblem, traj: PrimalDual,
     gc = gcm.update_active_set(prob.gc, traj)
     prob2 = GameProblem(spec=spec, model=prob.model, opts=prob.opts,
                         x0=prob.x0, obj=prob.obj, gc=gc)
-    J = extended_jacobian(prob2, traj)
+    J = extended_jacobian_knotrows(prob2, traj)
     v_flags, h_flags = pair_active_flags(gc, spec)
     dtype = J.dtype
     row_mask = jnp.concatenate(
