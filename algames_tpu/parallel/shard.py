@@ -81,14 +81,21 @@ def sharded_monte_carlo(prob: GameProblem, mesh: Mesh, x0s: jnp.ndarray,
               & (take(res.stats.con_vio, it) < opts.eps_con)
               & (take(res.stats.sta_vio, it) < opts.eps_sta)
               & (take(res.stats.opt_vio, it) < opts.eps_opt))
+        # Failure detection (SURVEY.md §5): NaN/exploded lanes are masked,
+        # counted, and never fatal.
+        bad = (~jnp.isfinite(take(res.stats.res, it))
+               | ~jnp.all(jnp.isfinite(
+                   res.traj.x.reshape(res.traj.x.shape[0], -1)), axis=1))
         # Cross-device reductions ride the ICI.
         n_ok = jax.lax.psum(jnp.sum(ok.astype(jnp.float32)), ("dp", "mc"))
         n_tot = jax.lax.psum(jnp.asarray(ok.shape[0], jnp.float32), ("dp", "mc"))
+        n_bad = jax.lax.psum(jnp.sum(bad.astype(jnp.float32)), ("dp", "mc"))
         worst_dyn = jax.lax.pmax(jnp.max(take(res.stats.dyn_vio, it)),
                                  ("dp", "mc"))
         mean_iters = jax.lax.psum(jnp.sum(res.stats.iter.astype(jnp.float32)),
                                   ("dp", "mc")) / n_tot
         summary = {"converged_frac": n_ok / n_tot, "worst_dyn_vio": worst_dyn,
+                   "divergence_frac": n_bad / n_tot,
                    "mean_iters": mean_iters}
         return res.traj.x, summary
 

@@ -51,10 +51,14 @@ def timed_solve(prob, method: str = "schur", key=None):
     as a diagnostic mode.
 
     Runs the SAME flat (k, l) iteration state machine as ``newton_solve``
-    (identical per-iteration math), but drives the loop from the host with
-    one jitted iteration per step so each inner iteration's wall time can be
-    recorded.  One dispatch + one host sync per iteration: use for
-    diagnostics, not throughput.
+    with the default ``opts.flat_loop=True`` (identical per-iteration math —
+    the bitwise-equality claim in ``tests/test_aux.py`` is against that
+    path; with ``flat_loop=False`` ``newton_solve`` takes the nested
+    outer/inner loops instead, whose per-lane iterate sequence is the same
+    but whose loop-carried structure is not what this driver replays), but
+    drives the loop from the host with one jitted iteration per step so each
+    inner iteration's wall time can be recorded.  One dispatch + one host
+    sync per iteration: use for diagnostics, not throughput.
 
     Returns ``(SolveResult, t_elap)`` with ``t_elap`` a list of seconds, one
     entry per executed inner iteration (first entry includes nothing of the
