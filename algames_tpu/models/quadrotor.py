@@ -16,6 +16,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 from .base import GameModel, interleaved_indices
@@ -65,6 +66,16 @@ class QuadrotorGame(GameModel):
     motor_dist: float = 0.1750
     kf: float = 1.245
     km: float = 1.0
+    # Optional smooth thrust clamp: 0.0 reproduces the reference's
+    # non-smooth max(0, kf*w) exactly; beta > 0 substitutes
+    # softplus(beta*kf*w)/beta (>= 0, -> max as beta -> inf, deviation
+    # <= ln(2)/beta at the kink).  The exact clamp's subgradient kink caps
+    # the quasi-Newton stationarity floor at ~3e-2 whenever a rotor rides
+    # the boundary (both here and structurally in the reference,
+    # ``src/dynamics/quadrotor.jl:58-63``); beta ~ 1e2 restores the 1e-3
+    # stationarity gate at <= 7e-3 thrust deviation.  See
+    # ``tests/test_models.py::test_quadrotor_smooth_clamp_converges``.
+    thrust_smoothing: float = 0.0
 
     def dynamics(self, x: jnp.ndarray, u: jnp.ndarray) -> jnp.ndarray:
         p = self.p
@@ -80,8 +91,13 @@ class QuadrotorGame(GameModel):
         g = jnp.asarray(self.gravity, dtype=x.dtype)
 
         # Rotor thrusts with the max(0, .) clamp
-        # (reference src/dynamics/quadrotor.jl:58-63, 85-95).
-        F_rot = jnp.maximum(0.0, self.kf * us)           # [p, 4]
+        # (reference src/dynamics/quadrotor.jl:58-63, 85-95), optionally
+        # softplus-smoothed (see thrust_smoothing above).
+        if self.thrust_smoothing > 0.0:
+            beta = self.thrust_smoothing
+            F_rot = jax.nn.softplus(beta * self.kf * us) / beta
+        else:
+            F_rot = jnp.maximum(0.0, self.kf * us)       # [p, 4]
         F_body = jnp.stack([
             jnp.zeros_like(F_rot[:, 0]),
             jnp.zeros_like(F_rot[:, 0]),
@@ -116,8 +132,10 @@ class QuadrotorGame(GameModel):
             "Velocity index is not implemented for QuadrotorGame")
 
 
-def quadrotor_game(p: int = 2, mass: float = 0.5) -> QuadrotorGame:
-    """Constructor mirroring ``QuadrotorGame(;p, mass)``."""
+def quadrotor_game(p: int = 2, mass: float = 0.5,
+                   thrust_smoothing: float = 0.0) -> QuadrotorGame:
+    """Constructor mirroring ``QuadrotorGame(;p, mass)``; see
+    ``QuadrotorGame.thrust_smoothing`` for the optional smooth clamp."""
     return QuadrotorGame(
         n=12 * p, m=4 * p, p=p,
         ni=(12,) * p, mi=(4,) * p,
@@ -125,4 +143,5 @@ def quadrotor_game(p: int = 2, mass: float = 0.5) -> QuadrotorGame:
         px=interleaved_indices(p, 2),
         pz=interleaved_indices(p, 12),
         mass=mass,
+        thrust_smoothing=thrust_smoothing,
     )
