@@ -162,8 +162,12 @@ def _make_fwd_kernel(T, n, m, p, R, BL, owner, pivot=True):
             used = jnp.zeros((d, BL), dtype)
             rid = jax.lax.broadcasted_iota(jnp.int32, (d, BL), 0)
             rows = []
+            Act = Auga     # active columns [d, d+R-i, BL]: each step's
+            #                extraction/update runs only on the not-yet-
+            #                eliminated columns (the eliminated ones are
+            #                exact zeros for every row still in play).
             for i in range(d):
-                col = Auga[:, i, :]                        # [d, BL]
+                col = Act[:, 0, :]                         # [d, BL]
                 mag = jnp.where(used > 0, -one, jnp.abs(col))
                 mx = jnp.max(mag, axis=0, keepdims=True)
                 # first row attaining the max (iota/min-reduce tiebreak —
@@ -172,19 +176,20 @@ def _make_fwd_kernel(T, n, m, p, R, BL, owner, pivot=True):
                 sel = jnp.min(cand, axis=0)                # [BL]
                 onehot = (rid == sel[None, :]).astype(dtype)
                 piv = jnp.sum(onehot * col, axis=0)        # [BL]
-                row = (jnp.sum(onehot[:, None, :] * Auga, axis=0)
-                       / piv[None, :])                     # [d+R, BL]
+                row = (jnp.sum(onehot[:, None, :] * Act, axis=0)
+                       / piv[None, :])                     # [d+R-i, BL]
                 colv = col * (one - used) - onehot
-                Auga = Auga - colv[:, None, :] * row[None, :, :]
+                Act = (Act - colv[:, None, :] * row[None, :, :])[:, 1:, :]
                 used = used + onehot
                 rows.append(row)
-            # Back substitution in variable order: rows[i] has a unit pivot
-            # at column i, zeros at earlier columns, U entries at j > i.
+            # Back substitution in variable order: rows[i][0] is the unit
+            # pivot (column i), rows[i][j-i] the U entry at column j > i,
+            # rows[i][d-i:] the RHS part.
             sol_rows = [None] * d
             for i in range(d - 1, -1, -1):
-                acc = rows[i][d:]                          # [R, BL]
+                acc = rows[i][d - i:]                      # [R, BL]
                 for j in range(i + 1, d):
-                    acc = acc - rows[i][j][None, :] * sol_rows[j]
+                    acc = acc - rows[i][j - i][None, :] * sol_rows[j]
                 sol_rows[i] = acc
             sol = jnp.stack(sol_rows, axis=0)              # [d, R, BL]
         else:

@@ -176,11 +176,16 @@ def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
                 norm_fn=norm_i)
             failed_ls = j >= opts.ls_iter
             traj_new = update_traj(traj, alpha, dtraj)
-            pd_new = R.point_from_lite(model, spec, gc, lite, traj_new)
             delta = delta_step(dtraj, alpha)
             take = ~stop_opt
             traj = _where_tree(take, traj_new, traj)
-            pd = _where_tree(take, pd_new, pd)
+            # Same select-lite-then-evaluate order as the main solver: no
+            # lane-masked selects over the dense Jacobian tensors.
+            lite_old = R.PointLite(rx0=pd.rx0, ru0=pd.ru0, rd=pd.rd,
+                                   state_c=pd.state_c,
+                                   control_c=pd.control_c)
+            lite_sel = _where_tree(take, lite, lite_old)
+            pd = R.point_from_lite(model, spec, gc, lite_sel, traj)
             max_delta = jnp.where(take, jnp.maximum(max_delta, delta),
                                   max_delta)
             stop = stop_opt | failed_ls | (delta < opts.delta_min)

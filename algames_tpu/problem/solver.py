@@ -195,13 +195,21 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
                                         dtraj, res_norm, reg)
     failed_ls = j >= opts.ls_iter
     traj_new = update_traj(traj, alpha, dtraj)
-    # Dense step Jacobians ONCE, at the accepted point (trials skip them).
-    pd_ls = R.point_from_lite(model, spec, gc, lite, traj_new)
     delta = delta_step(dtraj, alpha)
 
     take_step = ~stop_opt
     traj = _where_tree(take_step, traj_new, traj)
-    pd = _where_tree(take_step, pd_ls, pd)
+    # Select the (small) carried lite first, then evaluate the dense step /
+    # constraint Jacobians ONCE at the SELECTED point: bitwise the values a
+    # select between per-branch evaluations would produce (the old pd's
+    # Jacobians were themselves computed at the old traj by this same
+    # function), without lane-masked selects over the [B, T, n, n]-scale
+    # A/B/state_J tensors — those where-fusions were ~0.2 ms/chunk of HBM
+    # glue in the round-4 profile.
+    lite_old = R.PointLite(rx0=pd.rx0, ru0=pd.ru0, rd=pd.rd,
+                           state_c=pd.state_c, control_c=pd.control_c)
+    lite_sel = _where_tree(take_step, lite, lite_old)
+    pd = R.point_from_lite(model, spec, gc, lite_sel, traj)
     delta_rec = jnp.where(take_step, delta, jnp.zeros((), dtype))
     alpha_rec = jnp.where(take_step, alpha, jnp.zeros((), dtype))
     stop = stop_opt | failed_ls | (delta < opts.delta_min)

@@ -74,13 +74,36 @@ def main():
         x = rk3_step(model, x, u0, spec.dt / 2)
         warm = traj
     lat = np.asarray(lat[2:]) * 1e3  # drop residual warmup
+
+    # Pipelined device floor: the same closed loop issued WITHOUT per-step
+    # host sync (each replan still depends on the previous plan, so the
+    # device runs them back-to-back).  Separates the true device+queue time
+    # per replan from the ~25 ms axon-tunnel dispatch RPC that dominates —
+    # and whose host-side jitter moves — the per-call p50/p95 above.
+    warm_p, gc_p, x_p = warm, gc_warm, x
+    K = 28
+    t0 = time.perf_counter()
+    for _ in range(K):
+        traj_p, gc_p = replan_jit(x_p, warm_p, gc_p)
+        u0 = traj_p.u[0]
+        x_p = rk3_step(model, x_p, u0, spec.dt / 2)
+        x_p = rk3_step(model, x_p, u0, spec.dt / 2)
+        warm_p = traj_p
+    jax.block_until_ready(traj_p.x)
+    pipelined_ms = (time.perf_counter() - t0) / K * 1e3
+
     single = {
         "metric": "mpc_replan_latency_ms",
         "p50": round(float(np.percentile(lat, 50)), 2),
         "p95": round(float(np.percentile(lat, 95)), 2),
+        "min": round(float(lat.min()), 2),
+        "pipelined_ms_per_replan": round(pipelined_ms, 2),
         "unit": "ms",
         "budget_ms": 100.0,   # RSS-2020 real-time replan budget (10 Hz)
         "within_budget": bool(np.percentile(lat, 95) < 100.0),
+        "note": ("per-call latency is dominated by the ~25 ms axon-tunnel "
+                 "dispatch RPC (host-jitter moves its tail between runs); "
+                 "pipelined_ms_per_replan is the device-side floor"),
     }
     print(json.dumps(single))
 
