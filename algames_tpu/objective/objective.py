@@ -218,6 +218,23 @@ def cost_hessian(spec: ProblemSpec, obj: GameObjective, traj: PrimalDual):
     return Qx, Ru
 
 
+def cost_hessian_diag(spec: ProblemSpec, obj: GameObjective,
+                      traj: PrimalDual):
+    """Diagonal-form cost Hessians: ``(Qx [p, N, n], Ru [p, T, m, m])`` with
+    the same dt/terminal scaling as :func:`cost_hessian`.  Only valid for a
+    pure-LQR objective (no CollisionCost terms) — the structured-Q Pallas
+    path asserts ``not obj.pair_i`` before using it."""
+    assert not obj.pair_i, "cost_hessian_diag requires a diagonal objective"
+    p, n, m, N, T = spec.p, spec.n, spec.m, spec.N, spec.T
+    dtype = traj.x.dtype
+    scale = _dt_scale(spec, dtype)
+    Qx = obj.Qd[:, None, :] * scale[None, :, None]           # [p, N, n]
+    Ru = jnp.broadcast_to(
+        ((obj.Rd * spec.dt)[:, :, None] * jnp.eye(m, dtype=dtype))[:, None],
+        (p, T, m, m))
+    return Qx, Ru
+
+
 def collision_stage_cost(obj: GameObjective, idx: int, x: jnp.ndarray):
     """Scalar collision cost of pair ``idx`` at state ``x`` —
     ``0.5 mu max(0, r - |xi - xj|)^2`` (``src/objective/objective.jl:127-131``)."""

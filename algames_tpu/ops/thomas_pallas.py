@@ -52,6 +52,65 @@ def _mm(A, X):
     return out
 
 
+def _reduced_solve(K, RHS, d, BL, dtype, pivot):
+    """Solve the per-knot reduced system K sol = RHS per lane.
+
+    ``pivot=True``: row-partial-pivoted GE + back substitution, all virtual:
+    the pivot row is selected per LANE by a one-hot over the max-|.|
+    unpivoted entry of the column, extracted by a masked reduce (no per-lane
+    gather), normalized, saved for back substitution, and the rank-1 update
+    is masked to the rows still in play (the -1 bias leaves the normalized
+    row in place); extraction/update run only over the not-yet-eliminated
+    columns.  ``pivot=False``: Gauss-Jordan without pivoting — cheaper but
+    its error grows with cond(K) ~ the AL penalty mu (module docstring).
+    """
+    R = RHS.shape[1]
+    Auga = jnp.concatenate([K, RHS], axis=1)           # [d, d+R, BL]
+    if pivot:
+        one = jnp.ones((), dtype)
+        used = jnp.zeros((d, BL), dtype)
+        rid = jax.lax.broadcasted_iota(jnp.int32, (d, BL), 0)
+        rows = []
+        Act = Auga
+        for i in range(d):
+            col = Act[:, 0, :]                         # [d, BL]
+            mag = jnp.where(used > 0, -one, jnp.abs(col))
+            mx = jnp.max(mag, axis=0, keepdims=True)
+            # first row attaining the max (iota/min-reduce tiebreak —
+            # cumsum has no Mosaic lowering)
+            cand = jnp.where(mag == mx, rid, d)
+            sel = jnp.min(cand, axis=0)                # [BL]
+            onehot = (rid == sel[None, :]).astype(dtype)
+            piv = jnp.sum(onehot * col, axis=0)        # [BL]
+            row = (jnp.sum(onehot[:, None, :] * Act, axis=0)
+                   / piv[None, :])                     # [d+R-i, BL]
+            colv = col * (one - used) - onehot
+            Act = (Act - colv[:, None, :] * row[None, :, :])[:, 1:, :]
+            used = used + onehot
+            rows.append(row)
+        # Back substitution in variable order: rows[i][0] is the unit
+        # pivot (column i), rows[i][j-i] the U entry at column j > i,
+        # rows[i][d-i:] the RHS part.
+        sol_rows = [None] * d
+        for i in range(d - 1, -1, -1):
+            acc = rows[i][d - i:]                      # [R, BL]
+            for j in range(i + 1, d):
+                acc = acc - rows[i][j - i][None, :] * sol_rows[j]
+            sol_rows[i] = acc
+        return jnp.stack(sol_rows, axis=0)             # [d, R, BL]
+    # Gauss-Jordan without pivoting: the pivot row is kept in place by
+    # biasing its multiplier by -1 (so the rank-1 update leaves exactly
+    # the normalized row) — no scatter needed.
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
+    for i in range(d):
+        piv = Auga[i, i, :]
+        row = Auga[i] / piv[None, :]
+        onehot = (row_ids == i).astype(Auga.dtype)     # [d, 1]
+        col = Auga[:, i, :] - onehot
+        Auga = Auga - col[:, None, :] * row[None, :, :]
+    return Auga[:, d:, :]                              # [d, R, BL]
+
+
 def _make_fwd_kernel(T, n, m, p, R, BL, owner, pivot=True):
     """``owner[j]`` = player owning control index j (natural row order).
 
@@ -148,62 +207,7 @@ def _make_fwd_kernel(T, n, m, p, R, BL, owner, pivot=True):
         RHS = jnp.concatenate(
             [Rt, jnp.concatenate([dG, dy[:, None, :]], axis=1)], axis=0)
 
-        Auga = jnp.concatenate([K, RHS], axis=1)           # [d, d+R, BL]
-        if pivot:
-            # Row-partial-pivoted GE + back substitution, all virtual: the
-            # pivot row is selected per LANE by a one-hot over the max-|.|
-            # unpivoted entry of the column, extracted by a masked reduce
-            # (no per-lane gather), normalized, saved for back substitution,
-            # and the rank-1 update is masked to the rows still in play
-            # (the -1 bias leaves the normalized row in place).  Gauss-
-            # Jordan (the pivot=False path) is cheaper but its error grows
-            # with cond(K) ~ the AL penalty mu — see the module docstring.
-            one = jnp.ones((), dtype)
-            used = jnp.zeros((d, BL), dtype)
-            rid = jax.lax.broadcasted_iota(jnp.int32, (d, BL), 0)
-            rows = []
-            Act = Auga     # active columns [d, d+R-i, BL]: each step's
-            #                extraction/update runs only on the not-yet-
-            #                eliminated columns (the eliminated ones are
-            #                exact zeros for every row still in play).
-            for i in range(d):
-                col = Act[:, 0, :]                         # [d, BL]
-                mag = jnp.where(used > 0, -one, jnp.abs(col))
-                mx = jnp.max(mag, axis=0, keepdims=True)
-                # first row attaining the max (iota/min-reduce tiebreak —
-                # cumsum has no Mosaic lowering)
-                cand = jnp.where(mag == mx, rid, d)
-                sel = jnp.min(cand, axis=0)                # [BL]
-                onehot = (rid == sel[None, :]).astype(dtype)
-                piv = jnp.sum(onehot * col, axis=0)        # [BL]
-                row = (jnp.sum(onehot[:, None, :] * Act, axis=0)
-                       / piv[None, :])                     # [d+R-i, BL]
-                colv = col * (one - used) - onehot
-                Act = (Act - colv[:, None, :] * row[None, :, :])[:, 1:, :]
-                used = used + onehot
-                rows.append(row)
-            # Back substitution in variable order: rows[i][0] is the unit
-            # pivot (column i), rows[i][j-i] the U entry at column j > i,
-            # rows[i][d-i:] the RHS part.
-            sol_rows = [None] * d
-            for i in range(d - 1, -1, -1):
-                acc = rows[i][d - i:]                      # [R, BL]
-                for j in range(i + 1, d):
-                    acc = acc - rows[i][j - i][None, :] * sol_rows[j]
-                sol_rows[i] = acc
-            sol = jnp.stack(sol_rows, axis=0)              # [d, R, BL]
-        else:
-            # Gauss-Jordan without pivoting: the pivot row is kept in place
-            # by biasing its multiplier by -1 (so the rank-1 update leaves
-            # exactly the normalized row) — no scatter needed.
-            row_ids = jax.lax.broadcasted_iota(jnp.int32, (d, 1), 0)
-            for i in range(d):
-                piv = Auga[i, i, :]
-                row = Auga[i] / piv[None, :]
-                onehot = (row_ids == i).astype(Auga.dtype)  # [d, 1]
-                col = Auga[:, i, :] - onehot
-                Auga = Auga - col[:, None, :] * row[None, :, :]
-            sol = Auga[:, d:, :]                           # [d, R, BL]
+        sol = _reduced_solve(K, RHS, d, BL, dtype, pivot)  # [d, R, BL]
         Uu = sol[:m]                                       # u block (first)
         X = sol[m:]                                        # x block
 
@@ -258,6 +262,161 @@ def _make_bwd_kernel(T, n, m, p, BL):
         lam_t = jnp.concatenate(lams, axis=0)               # [pn, BL]
         lam_sc[...] = lam_t
         y_out[0] = jnp.concatenate([xu, lam_t], axis=0)     # [W, BL]
+
+    return kernel
+
+
+def _make_fwd_kernel_sq(T, n, m, p, R, BL, owner, w_owner, pivot=True):
+    """Structured-Q forward kernel: the statx Hessian arrives as
+    ``diag(q_i) + sum_k w_k w_k^T`` (``residual.StructuredQ``), so the
+    B^T Q and F Q contractions are diag-multiplies plus one dot+axpy per w
+    vector instead of dense [n, n] products, and the dense Q tensor never
+    exists (neither in HBM nor in the lane-last relayout)."""
+    pn = p * n
+    d = n + m
+    owner = np.asarray(owner)
+    NW = len(w_owner)
+
+    def kernel(q_ref, wv_ref, Ub_ref, Bm_ref, A_ref, AT_ref, b_ref,
+               G_out, y_out, G_sc, y_sc):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            G_sc[...] = jnp.zeros(G_sc.shape, G_sc.dtype)
+            y_sc[...] = jnp.zeros(y_sc.shape, y_sc.dtype)
+
+        q = q_ref[0]           # [p, n, BL]
+        wv = wv_ref[0]         # [max(NW,1), n, BL]
+        Ub = Ub_ref[0]         # [m, m, BL]
+        Bm = Bm_ref[0]         # [n, m, BL]
+        At = A_ref[0]          # [n, n, BL]
+        dtype = q.dtype
+        gate = jnp.where(t < T - 1, 1.0, 0.0).astype(dtype)
+        At1T = AT_ref[0] * gate                            # [n, n, BL]
+        b = b_ref[0]
+        a = b[:pn]
+        c = b[pn:pn + m]
+        d0 = b[pn + m:]
+        G_prev = G_sc[...]     # [n, pn, BL]
+        y_prev = y_sc[...]     # [n, BL]
+
+        # BtQ[r] = B_col_r * q_owner(r) (+ rank-1 terms), elementwise.
+        btq_rows = []
+        for r in range(m):
+            o = int(owner[r])
+            acc = Bm[:, r, :] * q[o]                       # [n, BL]
+            for k in range(NW):
+                if w_owner[k] == o:
+                    # unrolled dot (Mosaic rejects multi_reduction over a
+                    # sublane dim of an offset slice)
+                    prod = Bm[:, r, :] * wv[k]             # [n, BL]
+                    bw = prod[0]
+                    for j in range(1, n):
+                        bw = bw + prod[j]                  # [BL]
+                    acc = acc + bw[None, :] * wv[k]
+            btq_rows.append(acc[None])
+        BtQ = jnp.concatenate(btq_rows, axis=0)            # [m, n, BL]
+
+        bd = Bm[0][:, None, :] * At1T[0][None]
+        for k in range(1, n):
+            bd = bd + Bm[k][:, None, :] * At1T[k][None]    # [m, n, BL]
+        cG = jnp.concatenate(
+            [jnp.concatenate(
+                [bd[r:r + 1] if owner[r] == i else bd[r:r + 1] * 0.0
+                 for r in range(m)], axis=0)
+             for i in range(p)], axis=1)                   # [m, pn, BL]
+        Asel = jnp.concatenate(
+            [a[int(owner[r]) * n:(int(owner[r]) + 1) * n][:, None, :]
+             for r in range(m)], axis=1)                   # [n, m, BL]
+        cy = c + jnp.sum(Bm * Asel, axis=0)
+        Rt = jnp.concatenate([cG, cy[:, None, :]], axis=1)  # [m, R, BL]
+        ri = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+        ci = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+        neg_eye = -(ri == ci).astype(dtype)[:, :, None]
+
+        F = -_mm(At, G_prev)                               # [n, pn, BL]
+        # FQ = sum_i F_i diag(q_i) + sum_k (F_{ow k} w_k) w_k^T
+        FQ = F[:, 0:n, :] * q[0][None, :, :]
+        for i in range(1, p):
+            FQ = FQ + F[:, i * n:(i + 1) * n, :] * q[i][None, :, :]
+        for k in range(NW):
+            o = w_owner[k]
+            Fw = _mm(F[:, o * n:(o + 1) * n, :],
+                     wv[k][:, None, :])[:, 0, :]           # [n, BL]
+            FQ = FQ + Fw[:, None, :] * wv[k][None, :, :]
+
+        K = jnp.concatenate([
+            jnp.concatenate([Ub, BtQ], axis=1),
+            jnp.concatenate([Bm, neg_eye + FQ], axis=1)], axis=0)
+
+        dG = _mm(F[:, 0:n, :], At1T)
+        dGs = [dG]
+        for i in range(1, p):
+            dGs.append(_mm(F[:, i * n:(i + 1) * n, :], At1T))
+        dG = jnp.concatenate(dGs, axis=1)                  # [n, pn, BL]
+        Aty = _mm(At, y_prev[:, None, :])[:, 0, :]
+        Fa = _mm(F, a[:, None, :])[:, 0, :]
+        dy = d0 - Aty + Fa
+        RHS = jnp.concatenate(
+            [Rt, jnp.concatenate([dG, dy[:, None, :]], axis=1)], axis=0)
+
+        sol = _reduced_solve(K, RHS, d, BL, dtype, pivot)
+        Uu = sol[:m]
+        X = sol[m:]
+        G_t = jnp.concatenate([X[:, :pn], Uu[:, :pn]], axis=0)
+        y_t = jnp.concatenate([X[:, pn], Uu[:, pn]], axis=0)
+        G_sc[...] = X[:, :pn]
+        y_sc[...] = X[:, pn]
+        G_out[0] = G_t
+        y_out[0] = y_t
+
+    return kernel
+
+
+def _make_bwd_kernel_sq(T, n, m, p, BL, w_owner):
+    pn = p * n
+    W = n + m + pn
+    NW = len(w_owner)
+
+    def kernel(G_ref, yhat_ref, q_ref, wv_ref, AT_ref, b_ref, y_out,
+               lam_sc):
+        t = pl.program_id(1)
+
+        @pl.when(t == 0)
+        def _():
+            lam_sc[...] = jnp.zeros(lam_sc.shape, lam_sc.dtype)
+
+        G = G_ref[0]
+        yhat = yhat_ref[0]
+        q = q_ref[0]           # [p, n, BL]
+        wv = wv_ref[0]         # [max(NW,1), n, BL]
+        dtype = q.dtype
+        gate = jnp.where(t > 0, 1.0, 0.0).astype(dtype)
+        At1T = AT_ref[0] * gate
+        a = b_ref[0][:pn]
+        lam_next = lam_sc[...]
+
+        xu = yhat - _mm(G, lam_next[:, None, :])[:, 0, :]
+        x = xu[:n]
+        # lam_i = diag(q_i) x + sum_{ow k = i} (w_k . x) w_k
+        #         + A_{t+1}^T lam_{i,t+1} - a_i
+        lams = []
+        for i in range(p):
+            li = q[i] * x
+            for k in range(NW):
+                if w_owner[k] == i:
+                    prod = wv[k] * x                       # [n, BL]
+                    wx = prod[0]
+                    for j in range(1, n):
+                        wx = wx + prod[j]                  # [BL]
+                    li = li + wx[None, :] * wv[k]
+            li = li + _mm(At1T,
+                          lam_next[i * n:(i + 1) * n][:, None, :])[:, 0, :]
+            lams.append(li - a[i * n:(i + 1) * n])
+        lam_t = jnp.concatenate(lams, axis=0)
+        lam_sc[...] = lam_t
+        y_out[0] = jnp.concatenate([xu, lam_t], axis=0)    # [W, BL]
 
     return kernel
 
@@ -404,11 +563,149 @@ def solve_thomas_pallas(spec, jb, b_knots, block_lanes: int = 128,
     return jnp.transpose(ys, (2, 0, 1)).reshape(B, T * W)
 
 
+def solve_thomas_pallas_structured(spec, sq, b_knots, w_owner,
+                                   block_lanes: int = 128,
+                                   interpret: bool = False,
+                                   pivot: bool = True):
+    """Structured-Q variant of :func:`solve_thomas_pallas` — consumes
+    ``residual.StructuredQ`` leaves with a leading batch axis; the dense Q
+    tensor is never formed.  Homogeneous specs only (the hetero pad path
+    uses the dense kernel)."""
+    assert spec.homogeneous
+    T, n, m, p = spec.T, spec.n, spec.m, spec.p
+    pn, W, d = p * n, spec.W, spec.n + spec.m
+    R = pn + 1
+    B = b_knots.shape[0]
+    BL = min(block_lanes, B)
+    assert B % BL == 0, "batch must be divisible by the lane block"
+    dtype = sq.A.dtype
+    owner = np.zeros((m,), np.int32)
+    for i in range(p):
+        owner[np.asarray(spec.pu[i])] = i
+    NW = sq.wv.shape[2]
+    assert NW == len(w_owner)
+    wv_in = (sq.wv if NW > 0
+             else jnp.zeros((B, T, 1, n), dtype))          # dummy ref
+
+    ins = [
+        jnp.transpose(sq.qdiag, (1, 2, 3, 0)),     # [T, p, n, B]
+        jnp.transpose(wv_in, (1, 2, 3, 0)),        # [T, NW|1, n, B]
+        jnp.transpose(sq.Ublk, (1, 2, 3, 0)),      # [T, m, m, B]
+        jnp.transpose(sq.B, (1, 2, 3, 0)),         # [T, n, m, B]
+        jnp.transpose(sq.A, (1, 2, 3, 0)),         # [T, n, n, B]   A_t
+        jnp.transpose(sq.A, (1, 3, 2, 0)),         # [T, n, n, B]   A_t^T
+        jnp.transpose(b_knots, (1, 2, 0)),         # [T, W, B]
+    ]
+
+    fwd_kernel = _make_fwd_kernel_sq(T, n, m, p, R, BL, owner,
+                                     tuple(w_owner), pivot=pivot)
+    grid = (B // BL, T)
+
+    def in_spec(x, shift_clamp=False):
+        shape = (1,) + x.shape[1:-1] + (BL,)
+        nd = x.ndim
+
+        def imap(bt, t):
+            tt = jnp.minimum(t + 1, T - 1) if shift_clamp else t
+            return (tt,) + (0,) * (nd - 2) + (bt,)
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [in_spec(x) for x in ins[:5]] + [
+        in_spec(ins[5], shift_clamp=True), in_spec(ins[6])]
+
+    G, yhat = pl.pallas_call(
+        fwd_kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, d, pn, BL), lambda bt, t: (t, 0, 0, bt),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d, BL), lambda bt, t: (t, 0, bt),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((T, d, pn, B), dtype),
+            jax.ShapeDtypeStruct((T, d, B), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((n, pn, BL), dtype),
+            pltpu.VMEM((n, BL), dtype),
+        ],
+        interpret=interpret,
+    )(*ins)
+
+    bwd_kernel = _make_bwd_kernel_sq(T, n, m, p, BL, tuple(w_owner))
+
+    def rev_spec(x, shift_clamp=False):
+        shape = (1,) + x.shape[1:-1] + (BL,)
+        nd = x.ndim
+
+        def imap(bt, t):
+            knot = T - 1 - t
+            tt = jnp.minimum(knot + 1, T - 1) if shift_clamp else knot
+            return (tt,) + (0,) * (nd - 2) + (bt,)
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    ys = pl.pallas_call(
+        bwd_kernel,
+        grid=grid,
+        in_specs=[
+            rev_spec(G), rev_spec(yhat),
+            rev_spec(ins[0]),                      # qdiag
+            rev_spec(ins[1]),                      # wv
+            rev_spec(ins[5], shift_clamp=True),    # A_{knot+1}^T
+            rev_spec(ins[6]),                      # b (a rows)
+        ],
+        out_specs=pl.BlockSpec((1, W, BL), lambda bt, t: (T - 1 - t, 0, bt),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((T, W, B), dtype),
+        scratch_shapes=[pltpu.VMEM((pn, BL), dtype)],
+        interpret=interpret,
+    )(G, yhat, ins[0], ins[1], ins[5], ins[6])
+
+    return jnp.transpose(ys, (2, 0, 1)).reshape(B, T * W)
+
+
+@functools.lru_cache(maxsize=None)
+def thomas_pallas_structured_for_spec(spec, w_owner, interpret: bool = False,
+                                      pivot: bool = True):
+    """custom_vmap dispatcher for the structured-Q kernel (see
+    :func:`thomas_pallas_for_spec`)."""
+
+    @jax.custom_batching.custom_vmap
+    def solve(sq, b):
+        sq1 = jax.tree_util.tree_map(lambda x: x[None], sq)
+        return solve_thomas_pallas_structured(
+            spec, sq1, b[None], w_owner, block_lanes=1,
+            interpret=interpret, pivot=pivot)[0]
+
+    @solve.def_vmap
+    def _rule(axis_size, in_batched, sq, b):
+        sq_flags, b_flag = in_batched
+
+        def bcast(x, flag):
+            return x if flag else jnp.broadcast_to(
+                x[None], (axis_size,) + x.shape)
+
+        sq = jax.tree_util.tree_map(bcast, sq, sq_flags)
+        b = bcast(b, b_flag)
+        bl = _largest_block(axis_size)
+        out = solve_thomas_pallas_structured(
+            spec, sq, b, w_owner, block_lanes=bl, interpret=interpret,
+            pivot=pivot)
+        return out, True
+
+    return solve
+
+
 def _largest_block(B: int, cap: int = 128) -> int:
-    for bl in range(min(cap, B), 0, -1):
+    """Lane-block size: Mosaic requires the lane dim of a block to be a
+    multiple of 128 or the full array dim, so pick the largest divisor of B
+    that is a multiple of 128, else the whole batch."""
+    for bl in range(cap * (B // cap), 0, -cap):
         if B % bl == 0:
             return bl
-    return 1
+    return B
 
 
 @functools.lru_cache(maxsize=None)

@@ -42,7 +42,12 @@ class Options:
     # to the sequential loop.  Rationale: under vmap every lane pays the MAX
     # line-search depth across the batch per Newton iteration — sequential
     # trials serialize, parallel trials amortize.  0 = pure sequential.
-    ls_parallel: int = 2
+    # Default 1 (round 4): on the flagship the batch p50 accept depth is 1,
+    # so K=2 pays a full second trial evaluation every iteration to save a
+    # rare whole-batch sequential pass — measured ~10% throughput loss
+    # (45.5k -> 41.1k solves/s at the bench config).  Raise for problems
+    # whose accept-depth histogram has real mass past 1.
+    ls_parallel: int = 1
 
     # Augmented Lagrangian penalty schedule.
     rho_0: float = 1.0

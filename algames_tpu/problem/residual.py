@@ -33,7 +33,8 @@ from ..constraints import sets as gcm
 from ..core.spec import ProblemSpec
 from ..core.traj import PrimalDual
 from ..models.integration import rk2_step, step_jacobians_traj
-from ..objective.objective import cost_gradient, cost_hessian
+from ..objective.objective import (cost_gradient, cost_hessian,
+                                   cost_hessian_diag)
 from ..utils import pytree_dataclass
 
 
@@ -527,6 +528,120 @@ def assemble_from_point(spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     Ublk = Ublk + reg * eye_m
     return (Residual(rx=rx, ru=ru, rd=pd.rd),
             JacBlocks(Qblk=Qblk, Ublk=Ublk, A=pd.A, B=pd.B), sta_v, con_v)
+
+
+@pytree_dataclass
+class StructuredQ:
+    """Diagonal + rank-1 decomposition of the statx Hessian blocks:
+
+      Qblk[t, i] = diag(qdiag[t, i]) + sum_{k: w_owner[k] == i} wv[t, k] wv[t, k]^T
+
+    Exact for every diagonal (LQR) objective: the cost Hessian and the
+    bound-constraint AL Hessians are diagonal, and every other state
+    constraint family (collision / spherical / circle / walls / cylinder /
+    velocity) has one row per knot, so its AL Hessian J^T irho J is rank-1
+    with w = sqrt(irho) J.  The Pallas fast path consumes this instead of
+    the dense [T, p, n, n] tensor: ~4x fewer bytes re-laid-out lane-last per
+    iteration and the kernel's B^T Q / F Q / Q x contractions become
+    diag-multiplies plus one dot+axpy per w vector (round-4 glue burn-down,
+    VERDICT r3 #2).
+    """
+    qdiag: jnp.ndarray    # [T, p, n]
+    wv: jnp.ndarray       # [T, NW, n]  (NW = total single-row constraint rows)
+    Ublk: jnp.ndarray     # [T, m, m]
+    A: jnp.ndarray        # [T, n, n]
+    B: jnp.ndarray        # [T, n, m]
+
+
+def structured_w_owner(gc: gcm.GameConstraints):
+    """Static owner map of the rank-1 w vectors, in ``gc.state_blocks``
+    order (bound blocks contribute diagonals, not w vectors)."""
+    from ..constraints import kernels as _k
+    owners = []
+    for blk in gc.state_blocks:
+        if isinstance(blk.params, _k.BoundParams):
+            continue
+        owners.append(blk.owner)
+    return tuple(owners)
+
+
+def structured_q_supported(spec: ProblemSpec, obj, gc) -> bool:
+    """True iff the statx Hessians decompose as :class:`StructuredQ`:
+    diagonal objective (no CollisionCost) and single-row (C == 1) non-bound
+    state constraint blocks."""
+    from ..constraints import kernels as _k
+    if obj.pair_i:
+        return False
+    for blk in gc.state_blocks:
+        if isinstance(blk.params, _k.BoundParams):
+            continue
+        if blk.lam.shape[1] != 1:
+            return False
+    return True
+
+
+def assemble_structured_from_point(spec: ProblemSpec, obj, gc, traj,
+                                   pd: PointData, reg=0.0):
+    """:func:`assemble_from_point` with the statx Hessians in
+    :class:`StructuredQ` form (never materializing Qblk).  Same residual,
+    violations, Ublk, and regularization semantics."""
+    from ..constraints import kernels as _k
+    T, p, n, m = spec.T, spec.p, spec.n, spec.m
+    dtype = traj.x.dtype
+    Qx, Ru = cost_hessian_diag(spec, obj, traj)
+
+    rx, ru = pd.rx0, pd.ru0
+    qdiag = jnp.transpose(Qx[:, 1:], (1, 0, 2))              # [T, p, n]
+    same = jnp.asarray(_same_owner_mask(spec), dtype)
+    owner = owner_map_u(spec)
+    Ublk = jnp.zeros((T, m, m), dtype)
+    for i in range(p):
+        mask_i = jnp.asarray(np.outer(owner == i, owner == i)
+                             .astype(np.float64), dtype)
+        Ublk = Ublk + Ru[i] * mask_i
+
+    sta_v = jnp.zeros((), dtype)
+    con_v = jnp.zeros((), dtype)
+    grad_per = [None] * p
+    qadd_per = [None] * p
+    wvs = []
+    for blk, c, J in zip(gc.state_blocks, pd.state_c, pd.state_J):
+        irho = _irho(blk, c)
+        grad = _al_grad(blk, J, blk.lam + irho * c)
+        i = blk.owner
+        grad_per[i] = grad if grad_per[i] is None else grad_per[i] + grad
+        if isinstance(blk.params, _k.BoundParams):
+            dim = blk.params.z_max.shape[0]
+            mk = np.asarray(blk.params.mask, np.float64)
+            mu_ = jnp.asarray(mk[:dim], dtype)
+            ml_ = jnp.asarray(mk[dim:], dtype)
+            dvec = irho[:, :dim] * mu_ + irho[:, dim:] * ml_  # [T, dim]
+            qadd_per[i] = (dvec if qadd_per[i] is None
+                           else qadd_per[i] + dvec)
+        else:
+            wvs.append(jnp.sqrt(irho[:, 0])[:, None] * J[:, 0, :])  # [T, n]
+        sta_v = jnp.maximum(sta_v, gcm.block_violation_max(blk, c))
+    gsum = _owner_select(spec, grad_per, T, (n,), dtype)
+    if gsum is not None:
+        rx = rx + gsum
+    qsum = _owner_select(spec, qadd_per, T, (n,), dtype)
+    if qsum is not None:
+        qdiag = qdiag + qsum
+    for blk, c, J in zip(gc.control_blocks, pd.control_c, pd.control_J):
+        irho = _irho(blk, c)
+        grad = _al_grad(blk, J, blk.lam + irho * c)
+        hess = _al_hess(blk, J, irho)
+        ru = ru + grad
+        Ublk = Ublk + hess * same
+        con_v = jnp.maximum(con_v, gcm.block_violation_max(blk, c))
+
+    qdiag = qdiag + reg
+    Ublk = Ublk + reg * jnp.eye(m, dtype=dtype)
+    wv = (jnp.stack(wvs, axis=1) if wvs
+          else jnp.zeros((T, 0, n), dtype))
+    return (Residual(rx=rx, ru=ru, rd=pd.rd),
+            StructuredQ(qdiag=qdiag, wv=wv, Ublk=Ublk, A=pd.A, B=pd.B),
+            sta_v, con_v)
 
 
 def point_violations(gc: gcm.GameConstraints, pd: PointData):

@@ -153,10 +153,19 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
 
     # Rebuild residual + Jacobian + violations from the carried point data
     # (one constraint expansion and one dynamics-Jacobian pass TOTAL per
-    # accepted point, shared with the line search that produced it).
+    # accepted point, shared with the line search that produced it).  The
+    # Pallas path assembles the statx Hessians in diag+rank-1 StructuredQ
+    # form when the problem permits — the dense [T, p, n, n] tensor never
+    # exists (VERDICT r3 #2 glue burn-down).
     reg_eff = reg if opts.regularize else 0.0
-    res, jb, sta_v, con_v = R.assemble_from_point(spec, obj, gc, traj, pd,
-                                                  reg=reg_eff)
+    use_sq = (method in ("pallas", "pallas_interpret") and spec.homogeneous
+              and R.structured_q_supported(spec, obj, gc))
+    if use_sq:
+        res, sq, sta_v, con_v = R.assemble_structured_from_point(
+            spec, obj, gc, traj, pd, reg=reg_eff)
+    else:
+        res, jb, sta_v, con_v = R.assemble_from_point(spec, obj, gc, traj,
+                                                      pd, reg=reg_eff)
     res_norm = R.residual_norm(spec, res)
     dyn_v = R.dynamics_violation(res)
     opt_v = R.optimality_violation(res)
@@ -175,9 +184,14 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
     elif method == "schur":
         dflat = solve_tridiagonal_schur(spec, jb, -b)
     elif method in ("pallas", "pallas_interpret"):
-        from ..ops.thomas_pallas import thomas_pallas_for_spec
-        dflat = thomas_pallas_for_spec(
-            spec, interpret=(method == "pallas_interpret"))(jb, -b)
+        interp = method == "pallas_interpret"
+        if use_sq:
+            from ..ops.thomas_pallas import thomas_pallas_structured_for_spec
+            dflat = thomas_pallas_structured_for_spec(
+                spec, R.structured_w_owner(gc), interpret=interp)(sq, -b)
+        else:
+            from ..ops.thomas_pallas import thomas_pallas_for_spec
+            dflat = thomas_pallas_for_spec(spec, interpret=interp)(jb, -b)
     elif method == "cr":
         D, U, L = R.build_tridiagonal(spec, jb)
         dflat = solve_cyclic_reduction(spec, D, U, L, -b)
