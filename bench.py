@@ -36,17 +36,17 @@ def main():
     # per-lane once the 1e-3 violation gates pass (same gates as reference).
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
 
-    # Batch 256 = two Pallas lane tiles per dispatch: once the round-3 kernel
-    # fusions cut device self-time the pipeline became DISPATCH-bound, and
-    # doubling the per-dispatch batch beat shallower configs (256 beats both
-    # 128 and 512 — the straggler penalty of the vmapped while_loop's
-    # max-over-lanes trips takes over past ~256 lanes).  Pipeline depth 64
-    # amortizes the ~25 ms axon-tunnel dispatch RPC across the rep (measured
-    # 31.5k @ 256x16, 39.2k @ 256x32, 42.1k @ 256x64, 38.0k @ 256x128).
-    # 64 x 256 = 16384 scenarios per rep = 4x the BASELINE Monte-Carlo
+    # Batch 128 = ONE Pallas lane tile per dispatch (round-4 retune): the
+    # pivoted+structured kernel shifted the optimum down — at 128 lanes the
+    # vmapped while_loop pays fewer max-over-lanes straggler trips per chunk
+    # and the lane tile fills exactly (measured with the round-4 kernels:
+    # 28.4k @ 64x256, 41.1k @ 256x64, 39.4k @ 512x32; 5-rep medians at the
+    # 128-lane configs: 52.3k @ 128x128, 51.8k @ 128x192, 54.2k @ 128x256).
+    # Pipeline depth 256 amortizes the ~25 ms axon-tunnel dispatch RPC.
+    # 128 x 256 = 32768 scenarios per rep = 8x the BASELINE Monte-Carlo
     # config, measured at steady state.
-    batch = int(os.environ.get("BENCH_BATCH", "256"))
-    chunks = int(os.environ.get("BENCH_CHUNKS", "64"))
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "256"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
     key = jax.random.PRNGKey(0)
     x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
@@ -75,14 +75,18 @@ def main():
           + " ".join(f"{i}:{c}" for i, c in enumerate(hist) if c)
           + f"  frac_at_cap={at_cap:.4f}", file=sys.stderr)
 
+    # Drop each chunk's result as the next is issued: the device executes
+    # the dispatch stream in order either way, but KEEPING all chunk
+    # outputs alive (the round-3 loop) pins chunks x SolveResult of HBM —
+    # at 256 chunks the allocator stalls cost ~2x throughput.
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs = [fn(x0s[c]) for c in range(chunks)]
-        jax.block_until_ready(outs)
+        for c in range(chunks):
+            out = fn(x0s[c])
+        jax.block_until_ready(out.traj.x)
         times.append(time.perf_counter() - t0)
     t = min(times)
-    out = outs[-1]
     solves_per_s = batch * chunks / t
 
     assert np.all(np.isfinite(np.asarray(out.traj.x))), "non-finite trajectories"
@@ -102,8 +106,9 @@ def main():
     times_d = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        outs_d = [fn_d(x0s[c]) for c in range(chunks)]
-        jax.block_until_ready(outs_d)
+        for c in range(chunks):
+            out_d = fn_d(x0s[c])
+        jax.block_until_ready(out_d.traj.x)
         times_d.append(time.perf_counter() - t0)
     sps_d = batch * chunks / min(times_d)
     print("[bench-default-budget] " + json.dumps({

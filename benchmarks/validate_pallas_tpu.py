@@ -1,11 +1,12 @@
 """On-TPU validation of the fused Pallas KKT sweep (VERDICT r2 #5).
 
-The pivoting-free block Gaussian elimination in ``ops/thomas_pallas.py`` is
-stress-tested in f64 interpret mode inside the suite; this script checks it
-WHERE IT SHIPS — compiled to the real TPU chip, f32 — against the pivoted
-Schur path, both at the KKT-system level across the full AL penalty schedule
-(mu 1 -> 1e7, reference ``src/struct/options.jl:56``) and end-to-end through
-full batched solves.
+The partial-pivoted block Gaussian elimination in ``ops/thomas_pallas.py``
+(both the dense-Q and structured-Q kernels) is stress-tested in f64
+interpret mode inside the suite; this script checks it WHERE IT SHIPS —
+compiled to the real TPU chip, f32 — against the pivoted Schur path, both at
+the KKT-system level across the full AL penalty schedule (mu 1 -> 1e7,
+reference ``src/struct/options.jl:56``) and end-to-end through full batched
+solves.
 
 Writes ``benchmarks/results/pallas_tpu_validation.json`` (committed artifact).
 Run on the chip:  python benchmarks/validate_pallas_tpu.py
@@ -47,9 +48,24 @@ def kkt_level(spec, model, obj, gc, dtype):
         lambda tr: R.assemble(model, spec, obj, gc, tr, 1e-3)))(trajs)
     b = jax.jit(jax.vmap(lambda r: R.residual_knot_blocks(spec, r)))(res)
 
+    from algames_tpu.ops.thomas_pallas import solve_thomas_pallas_structured
+
+    # Structured-Q operands for the SAME iterates (the shipping fast path
+    # of every diagonal-objective config): boosting qdiag by mu is exactly
+    # the dense sweep's Qblk diagonal boost.
+    import dataclasses
+    pds = jax.jit(jax.vmap(
+        lambda tr: R.point_data(model, spec, obj, gc, tr)))(trajs)
+    sqs = jax.jit(jax.vmap(
+        lambda tr, pd: R.assemble_structured_from_point(
+            spec, obj, gc, tr, pd, 1e-3)[1]))(trajs, pds)
+    w_owner = R.structured_w_owner(gc)
+
     diag = np.arange(spec.n)
     pal = jax.jit(lambda jb, bb: solve_thomas_pallas(spec, jb, bb,
                                                      block_lanes=B))
+    pal_sq = jax.jit(lambda sq, bb: solve_thomas_pallas_structured(
+        spec, sq, bb, w_owner, block_lanes=B))
     ref = jax.jit(jax.vmap(
         lambda jb, bb: solve_tridiagonal_schur(spec, jb, bb)))
 
@@ -80,24 +96,31 @@ def kkt_level(spec, model, obj, gc, dtype):
         jbs_s = R.JacBlocks(
             Qblk=jbs.Qblk.at[:, :, :, diag, diag].add(dtype(mu)),
             Ublk=jbs.Ublk, A=jbs.A, B=jbs.B) if mu != 1.0 else jbs
+        sqs_s = (dataclasses.replace(sqs, qdiag=sqs.qdiag + dtype(mu))
+                 if mu != 1.0 else sqs)
         y_pal = np.asarray(pal(jbs_s, b))
+        y_sq = np.asarray(pal_sq(sqs_s, b))
         y_ref = np.asarray(ref(jbs_s, b))
         DUL = build(jbs_s)
-        err_p, err_s = 0.0, 0.0
+        err_p = err_s = err_q = 0.0
         for lane in range(n_oracle):
             y64 = f64_oracle(DUL, b, lane)
             scale = max(float(np.max(np.abs(y64))), 1e-30)
             err_p = max(err_p,
                         float(np.max(np.abs(y_pal[lane] - y64))) / scale)
+            err_q = max(err_q,
+                        float(np.max(np.abs(y_sq[lane] - y64))) / scale)
             err_s = max(err_s,
                         float(np.max(np.abs(y_ref[lane] - y64))) / scale)
         scale = max(float(np.max(np.abs(y_ref))), 1e-30)
         dev = float(np.max(np.abs(y_pal - y_ref))) / scale
         rows.append({"mu": mu, "rel_dev_pallas_vs_schur": dev,
                      "rel_err_pallas_vs_f64": err_p,
+                     "rel_err_pallas_structured_vs_f64": err_q,
                      "rel_err_schur_vs_f64": err_s})
         print(f"[kkt] mu={mu:.0e} pal_vs_schur={dev:.3e} "
-              f"pal_vs_f64={err_p:.3e} schur_vs_f64={err_s:.3e}",
+              f"pal_vs_f64={err_p:.3e} sq_vs_f64={err_q:.3e} "
+              f"schur_vs_f64={err_s:.3e}",
               file=sys.stderr)
     return rows
 
@@ -154,9 +177,9 @@ def main():
     #   the kernel's f32 VPU arithmetic also beats the XLA path's default
     #   TPU matmul precision at low mu).
     for r in kkt:
-        assert r["rel_err_pallas_vs_f64"] <= max(
-            2.0 * r["rel_err_schur_vs_f64"], 1e-4), r
-        assert r["rel_err_pallas_vs_f64"] <= 1e-2, r
+        for k in ("rel_err_pallas_vs_f64", "rel_err_pallas_structured_vs_f64"):
+            assert r[k] <= max(2.0 * r["rel_err_schur_vs_f64"], 1e-4), r
+            assert r[k] <= 1e-2, r
     # e2e: both methods must fully converge at the standard gates; the
     # trajectory spread stays within the shared eps_opt=1e-2 basin
     # (measured 1.5e-2 over 128 lanes; see note above).
