@@ -214,3 +214,54 @@ def test_pallas_thomas_interpret_quadrotor_shapes():
     scale = float(jnp.max(jnp.abs(y_ref)))
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                atol=1e-7 * max(scale, 1.0), rtol=1e-6)
+
+
+def test_structured_q_assembly_and_kernel():
+    """StructuredQ (diag + rank-1) reproduces the dense assembly exactly and
+    the structured Pallas kernel matches the dense oracle (round-4 fast
+    path, VERDICT r3 #2)."""
+    import dataclasses
+
+    from algames_tpu.ops.thomas_pallas import solve_thomas_pallas_structured
+    from algames_tpu.presets import flagship_unicycle, quadrotor3d
+    from algames_tpu.problem import residual as R
+    from algames_tpu.problem.linear_solver import solve_dense
+
+    for prob, spec in (flagship_unicycle(outer=2, inner=2),
+                       quadrotor3d(outer=2, inner=2)):
+        assert R.structured_q_supported(spec, prob.obj, prob.gc)
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        traj = ag.PrimalDual(
+            x=0.2 * jax.random.normal(ks[0], (spec.N, spec.n), jnp.float64),
+            u=0.2 * jax.random.normal(ks[1], (spec.T, spec.m), jnp.float64),
+            lam=0.2 * jax.random.normal(ks[2], (spec.p, spec.T, spec.n),
+                                        jnp.float64))
+        pd = R.point_data(prob.model, spec, prob.obj, prob.gc, traj)
+        res_d, jb, sv_d, cv_d = R.assemble_from_point(
+            spec, prob.obj, prob.gc, traj, pd, reg=1e-3)
+        res_s, sq, sv_s, cv_s = R.assemble_structured_from_point(
+            spec, prob.obj, prob.gc, traj, pd, reg=1e-3)
+        # identical residual/violations; Q reconstructs exactly
+        np.testing.assert_array_equal(np.asarray(res_d.rx),
+                                      np.asarray(res_s.rx))
+        np.testing.assert_array_equal(np.asarray(res_d.ru),
+                                      np.asarray(res_s.ru))
+        np.testing.assert_array_equal(np.asarray(sv_d), np.asarray(sv_s))
+        w_owner = R.structured_w_owner(prob.gc)
+        Qrec = jax.vmap(jax.vmap(jnp.diag))(sq.qdiag)
+        for k, o in enumerate(w_owner):
+            Qrec = Qrec.at[:, o].add(sq.wv[:, k, :, None]
+                                     * sq.wv[:, k, None, :])
+        np.testing.assert_allclose(np.asarray(Qrec), np.asarray(jb.Qblk),
+                                   rtol=0, atol=1e-13)
+        np.testing.assert_array_equal(np.asarray(sq.Ublk),
+                                      np.asarray(jb.Ublk))
+
+        b = R.residual_knot_blocks(spec, res_d)
+        D, U, L = R.build_tridiagonal(spec, jb)
+        y_or = np.asarray(solve_dense(spec, D, U, L, -b))
+        sq1 = jax.tree_util.tree_map(lambda x: x[None], sq)
+        y_sq = np.asarray(solve_thomas_pallas_structured(
+            spec, sq1, -b[None], w_owner, block_lanes=1, interpret=True))[0]
+        scale = np.abs(y_or).max()
+        np.testing.assert_allclose(y_sq, y_or, rtol=0, atol=1e-10 * scale)
