@@ -198,3 +198,51 @@ def test_fuzz_f32_vs_f64_equal_budget(case):
     dev = np.abs(np.asarray(out64.traj.x, np.float32)
                  - np.asarray(out32.traj.x)).max()
     assert dev < 5e-2, f"f32 drift {dev:.3e} at equal budget"
+
+
+@pytest.mark.parametrize("case", range(8))
+def test_fuzz_hetero_fast_paths(case):
+    """Random ragged-mi games: the pad-and-mask schur/pallas fast paths
+    reproduce the f64 dense-oracle step (VERDICT r3 #4, fuzz-pinned)."""
+    from algames_tpu.models.hetero import hetero_double_integrator_game
+
+    rng = np.random.default_rng(3000 + case)
+    p = int(rng.integers(2, 4))
+    mi = tuple(int(rng.integers(1, 3)) for _ in range(p))
+    if len(set(mi)) == 1:
+        mi = mi[:-1] + (3 - mi[-1],)          # force raggedness
+    N = int(rng.integers(4, 10))
+    dt = float(rng.uniform(0.05, 0.2))
+    model = hetero_double_integrator_game(mi=mi, d=2)
+    spec = spec_from_model(model, N, dt)
+    dtype = jnp.float64
+    obj = game_objective(
+        spec,
+        Q=[jnp.asarray(rng.uniform(0.1, 3.0, 4), dtype) for _ in range(p)],
+        R=[jnp.asarray(rng.uniform(0.01, 1.0, mi[i]), dtype)
+           for i in range(p)],
+        xf=[jnp.asarray(rng.uniform(-1, 1, 4), dtype) for _ in range(p)],
+        uf=[jnp.zeros(mi[i], dtype) for i in range(p)], dtype=dtype)
+    gc = gcm.game_constraints(spec, dtype=dtype)
+    if rng.random() < 0.7:
+        lim = float(rng.uniform(0.5, 3.0))
+        gc = gcm.add_control_bound(spec, gc, lim * jnp.ones(spec.m, dtype),
+                                   -lim * jnp.ones(spec.m, dtype))
+    prob = game_problem(N, dt, jnp.zeros(spec.n, dtype), model,
+                        Options(), obj, gc)
+    traj, gc_r = _random_iterate(rng, spec, gc)
+
+    res, jb, _, _ = jax.jit(
+        lambda t, g: R.assemble(model, spec, obj, g, t, reg=1e-3)
+    )(traj, gc_r)
+    b = R.residual_knot_blocks(spec, res)
+    D, U, L = jax.jit(lambda j: R.build_tridiagonal(spec, j))(jb)
+    y_or = _dense_oracle(spec, D, U, L, -b)
+    scale = max(np.abs(y_or).max(), 1e-30)
+    y_s = np.asarray(jax.jit(
+        lambda: solve_tridiagonal_schur(spec, jb, -b))())
+    np.testing.assert_allclose(y_s, y_or, atol=2e-6 * scale, rtol=0)
+    jb1 = jax.tree_util.tree_map(lambda x: x[None], jb)
+    y_p = np.asarray(solve_thomas_pallas(spec, jb1, -b[None],
+                                         block_lanes=1, interpret=True))[0]
+    np.testing.assert_allclose(y_p, y_or, atol=2e-6 * scale, rtol=0)
