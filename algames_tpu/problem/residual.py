@@ -554,30 +554,25 @@ class StructuredQ:
 
 
 def structured_w_owner(gc: gcm.GameConstraints):
-    """Static owner map of the rank-1 w vectors, in ``gc.state_blocks``
-    order (bound blocks contribute diagonals, not w vectors)."""
+    """Static owner map of the rank-1 w vectors: one per constraint ROW of
+    every non-bound state block (a C-row block contributes C vectors), in
+    ``gc.state_blocks`` order; bound blocks contribute diagonals instead."""
     from ..constraints import kernels as _k
     owners = []
     for blk in gc.state_blocks:
         if isinstance(blk.params, _k.BoundParams):
             continue
-        owners.append(blk.owner)
+        owners.extend([blk.owner] * blk.lam.shape[1])
     return tuple(owners)
 
 
 def structured_q_supported(spec: ProblemSpec, obj, gc) -> bool:
-    """True iff the statx Hessians decompose as :class:`StructuredQ`:
-    diagonal objective (no CollisionCost) and single-row (C == 1) non-bound
-    state constraint blocks."""
-    from ..constraints import kernels as _k
-    if obj.pair_i:
-        return False
-    for blk in gc.state_blocks:
-        if isinstance(blk.params, _k.BoundParams):
-            continue
-        if blk.lam.shape[1] != 1:
-            return False
-    return True
+    """True iff the statx Hessians decompose as :class:`StructuredQ`: a
+    diagonal objective (no CollisionCost terms — their Hessians are dense
+    cross-player blocks).  Every constraint family qualifies: bound blocks
+    are diagonal, every other block's AL Hessian is sum_c irho_c J_c J_c^T
+    = one w vector per row."""
+    return not obj.pair_i
 
 
 def assemble_structured_from_point(spec: ProblemSpec, obj, gc, traj,
@@ -619,7 +614,9 @@ def assemble_structured_from_point(spec: ProblemSpec, obj, gc, traj,
             qadd_per[i] = (dvec if qadd_per[i] is None
                            else qadd_per[i] + dvec)
         else:
-            wvs.append(jnp.sqrt(irho[:, 0])[:, None] * J[:, 0, :])  # [T, n]
+            for cc in range(blk.lam.shape[1]):
+                wvs.append(jnp.sqrt(irho[:, cc])[:, None]
+                           * J[:, cc, :])                 # [T, n]
         sta_v = jnp.maximum(sta_v, gcm.block_violation_max(blk, c))
     gsum = _owner_select(spec, grad_per, T, (n,), dtype)
     if gsum is not None:

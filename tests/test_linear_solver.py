@@ -265,3 +265,47 @@ def test_structured_q_assembly_and_kernel():
             spec, sq1, -b[None], w_owner, block_lanes=1, interpret=True))[0]
         scale = np.abs(y_or).max()
         np.testing.assert_allclose(y_sq, y_or, rtol=0, atol=1e-10 * scale)
+
+
+def test_structured_q_rank_k_circle_blocks():
+    """Multi-row (C > 1) constraint blocks decompose as C w-vectors: the
+    flagship plus 3-circle obstacle blocks still takes the structured path
+    and matches the dense oracle."""
+    import dataclasses
+
+    from algames_tpu.ops.thomas_pallas import solve_thomas_pallas_structured
+    from algames_tpu.presets import flagship_unicycle
+    from algames_tpu.problem.linear_solver import solve_dense
+
+    prob, spec = flagship_unicycle(outer=2, inner=2)
+    gc = ag.add_circle_constraint(spec, prob.gc, [0.3, 0.8, 1.2],
+                                  [0.1, -0.1, 0.2], [0.15, 0.2, 0.1])
+    prob = dataclasses.replace(prob, gc=gc)
+    assert R.structured_q_supported(spec, prob.obj, prob.gc)
+    w_owner = R.structured_w_owner(prob.gc)
+    assert len(w_owner) == 6 + 3 * spec.p      # collisions + 3 circles/player
+
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    traj = ag.PrimalDual(
+        x=0.2 * jax.random.normal(ks[0], (spec.N, spec.n), jnp.float64),
+        u=0.2 * jax.random.normal(ks[1], (spec.T, spec.m), jnp.float64),
+        lam=0.2 * jax.random.normal(ks[2], (spec.p, spec.T, spec.n),
+                                    jnp.float64))
+    pd = R.point_data(prob.model, spec, prob.obj, prob.gc, traj)
+    res_d, jb, _, _ = R.assemble_from_point(spec, prob.obj, prob.gc, traj,
+                                            pd, reg=1e-3)
+    _, sq, _, _ = R.assemble_structured_from_point(spec, prob.obj, prob.gc,
+                                                   traj, pd, reg=1e-3)
+    Qrec = jax.vmap(jax.vmap(jnp.diag))(sq.qdiag)
+    for k, o in enumerate(w_owner):
+        Qrec = Qrec.at[:, o].add(sq.wv[:, k, :, None] * sq.wv[:, k, None, :])
+    np.testing.assert_allclose(np.asarray(Qrec), np.asarray(jb.Qblk),
+                               rtol=0, atol=1e-13)
+    b = R.residual_knot_blocks(spec, res_d)
+    D, U, L = R.build_tridiagonal(spec, jb)
+    y_or = np.asarray(solve_dense(spec, D, U, L, -b))
+    sq1 = jax.tree_util.tree_map(lambda x: x[None], sq)
+    y_sq = np.asarray(solve_thomas_pallas_structured(
+        spec, sq1, -b[None], w_owner, block_lanes=1, interpret=True))[0]
+    np.testing.assert_allclose(y_sq, y_or, rtol=0,
+                               atol=1e-10 * np.abs(y_or).max())
