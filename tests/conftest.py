@@ -13,3 +13,17 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables after each test module: a full-suite run
+    accumulates ~180 XLA:CPU executables and the large 8-virtual-device
+    shard_map compile near the end then segfaults inside LLVM (reproducible
+    at the same test, passes standalone).  Per-module clearing keeps
+    within-module compile reuse."""
+    yield
+    jax.clear_caches()
