@@ -309,3 +309,22 @@ def test_structured_q_rank_k_circle_blocks():
         spec, sq1, -b[None], w_owner, block_lanes=1, interpret=True))[0]
     np.testing.assert_allclose(y_sq, y_or, rtol=0,
                                atol=1e-10 * np.abs(y_or).max())
+
+
+def test_structured_q_fallback_collision_cost():
+    """A CollisionCost objective (dense cross-player Hessian blocks) must
+    NOT take the structured path; method='pallas_interpret' still solves it
+    through the dense-Q kernel and matches the dense method."""
+    from algames_tpu.objective.objective import add_collision_cost
+    from algames_tpu.presets import intro_di
+
+    prob, spec = intro_di(outer=3, inner=4)
+    obj = add_collision_cost(spec, prob.obj, 0.3 * jnp.ones(spec.p),
+                             2.0 * jnp.ones(spec.p))
+    import dataclasses
+    prob = dataclasses.replace(prob, obj=obj)
+    assert not R.structured_q_supported(spec, prob.obj, prob.gc)
+    ref = ag.newton_solve(prob, method="dense")
+    out = ag.newton_solve(prob, method="pallas_interpret")
+    np.testing.assert_allclose(np.asarray(out.traj.x),
+                               np.asarray(ref.traj.x), rtol=0, atol=1e-9)
