@@ -120,7 +120,13 @@ def main():
     # headline comparable to the reference's own defaults (VERDICT r2 #2).
     # Goes to stderr: the driver contract is ONE stdout JSON line.
     prob_d, _ = _flagship_problem(dtype=dtype, outer=7, inner=20)
-    sps_d, qd = _measure(ag, prob_d, dtype, batch, chunks, reps)
+    sps_d, qd = -1.0, None
+    for (b_d, c_d) in shapes:
+        s_d, q_d = _measure(ag, prob_d, dtype, b_d, c_d, reps)
+        print(f"[bench-default-budget] {b_d}x{c_d}: {s_d:.0f} solves/s",
+              file=sys.stderr)
+        if s_d > sps_d:
+            sps_d, qd = s_d, q_d
     frac_d = float(ag.parallel.convergence_fraction(qd, prob_d.opts))
     print("[bench-default-budget] " + json.dumps({
         "metric": "3p_unicycle_N20_solves_per_s_per_chip_outer7_inner20",
