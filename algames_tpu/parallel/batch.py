@@ -32,6 +32,58 @@ def solve_batch(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",
 solve_batch_jit = jax.jit(solve_batch, static_argnames=("method",))
 
 
+def solve_many(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",
+               keys=None, chunk: int | None = None):
+    """Memory-bounded scenario sweep with the chunk loop ON DEVICE.
+
+    ``solve_batch`` over N scenarios at once holds every lane's solver state
+    live simultaneously and runs each ``while_loop`` trip over all N lanes
+    (max-over-lanes straggler semantics).  ``solve_many`` splits the sweep
+    into ``ceil(N / chunk)`` chunks of ``chunk`` lanes and runs them
+    sequentially *inside* the jitted computation via ``lax.map`` — ONE
+    device dispatch for the whole sweep.  A host-side chunk loop pays a
+    dispatch round-trip per chunk (the remote-tunnel RPC is ~25 ms, 10x a
+    chunk's device time) and leaves the device idle between dispatches;
+    the on-device loop back-to-backs the chunks (round-4 profile: measured
+    throughput went from ~79% to ~95% of the hlo_stats device bound).
+
+    Per-chunk results are bitwise identical to ``solve_batch`` on the same
+    chunk (same vmapped program, scanned).  N is padded to a multiple of
+    ``chunk`` with copies of row 0 and trimmed from the result, so any N
+    works.  ``chunk=None`` (or >= N) degenerates to one ``solve_batch``.
+
+    Returns a stacked :class:`~..problem.solver.SolveResult` with leading
+    axis N — all chunks' results live in HBM at once (a few KB per lane;
+    size the sweep accordingly, or reduce per chunk by mapping over
+    ``solve_batch`` yourself).
+    """
+    N = x0s.shape[0]
+    if chunk is None or chunk >= N:
+        return solve_batch(prob, x0s, method=method, keys=keys)
+    C = -(-N // chunk)                       # ceil
+    pad = C * chunk - N
+
+    def _chunked(a):
+        if pad:
+            a = jnp.concatenate([a, jnp.broadcast_to(a[:1],
+                                                     (pad,) + a.shape[1:])])
+        return a.reshape((C, chunk) + a.shape[1:])
+
+    xs = _chunked(x0s)
+    if keys is None:
+        out = jax.lax.map(
+            lambda x: solve_batch(prob, x, method=method), xs)
+    else:
+        out = jax.lax.map(
+            lambda xk: solve_batch(prob, xk[0], method=method, keys=xk[1]),
+            (xs, _chunked(keys)))
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((C * chunk,) + a.shape[2:])[:N], out)
+
+
+solve_many_jit = jax.jit(solve_many, static_argnames=("method", "chunk"))
+
+
 def divergence_mask(result) -> jnp.ndarray:
     """Per-lane divergence flags for a batched SolveResult (SURVEY.md §5:
     the batched analogue of failure detection — NaN/exploding lanes are

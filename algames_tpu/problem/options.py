@@ -76,6 +76,17 @@ class Options:
     # fewer: straggler mitigation for large scenario batches.
     flat_loop: bool = True
 
+    # Iterations per flat-machine while_loop trip (flat_loop=True only).
+    # Each extra sub-iteration is guarded by a per-lane select on the loop
+    # condition — exactly the masking JAX's while batching rule applies per
+    # trip — so the per-lane iteration sequence is bitwise identical at any
+    # unroll.  >1 halves/thirds the number of while trips and with them the
+    # TPU scalar-core cond evaluations + carry re-selects that dominate the
+    # gap between realized and op-self-time throughput (docs/PERF.md); the
+    # cost is up to unroll-1 wasted (masked) body executions per lane at
+    # the end of its solve and a proportionally larger compiled body.
+    loop_unroll: int = 1
+
     # Adaptive penalty safeguard (NOT in the reference, opt-in): ramp the
     # penalties only when the constraint violation failed to shrink by
     # ``adaptive_ratio``; otherwise take the dual-ascent step alone

@@ -342,6 +342,23 @@ def _solve_flat(prob: GameProblem, traj0, pd0, gc0, stats0, rho0, method):
         return (k, l, done, traj, pd, gc, rho, stats, last_vio, delta_prev,
                 alpha_prev, prev_cvio, delta_fin)
 
+    if opts.loop_unroll > 1:
+        # Run `loop_unroll` iterations per while trip.  Sub-iterations past
+        # the first are guarded by a per-lane select on this lane's own
+        # cond — the identical masking the while batching rule applies
+        # between trips — so the per-lane state sequence is bitwise the
+        # same; only the number of cond evaluations (scalar-core syncs per
+        # trip under vmap) shrinks.
+        body_1 = body
+
+        def body(c):
+            c = body_1(c)
+            for _ in range(opts.loop_unroll - 1):
+                k, l, done, *_ = c
+                live = (k < opts.outer_iter) & ~done
+                c = _where_tree(live, body_1(c), c)
+            return c
+
     init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
             jnp.asarray(False), traj0, pd0, gc0, rho0, stats0,
             jnp.full((4,), inf), jnp.zeros((), dtype),

@@ -28,36 +28,37 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
 def _measure(ag, prob, dtype, batch, chunks, reps):
-    """Steady-state solves/s for one dispatch shape.
+    """Steady-state solves/s for one sweep shape.
 
-    Two untimed full sweeps first: the axon tunnel's per-dispatch RPC
-    latency starts high after any reconnect/idle period and settles only
-    after a few sweeps (measured 22-24k solves/s cold vs 45-54k warm for
-    the SAME binary).  Each chunk's result is dropped as the next is issued
-    — keeping all chunk outputs alive (the round-3 loop) pinned
-    chunks x SolveResult of HBM and the allocator stalls cost ~2x at 256
-    chunks.
+    The whole ``batch * chunks`` sweep is ONE device dispatch:
+    ``parallel.solve_many`` runs the chunk loop on device via ``lax.map``
+    (chunks of ``batch`` lanes back-to-back inside the jitted computation).
+    A host-side chunk loop pays a ~25 ms dispatch RPC through the axon
+    tunnel per chunk; in the tunnel's slow phases that collapsed throughput
+    ~35-41k with 2-3x rep variance, while the on-device loop holds 53k+
+    with <1% rep spread (round-4 measurement, docs/PERF.md).  Full
+    SolveResults for every lane are materialized in HBM (~5% slower than a
+    summarizing reduction — kept so the bench can report convergence over
+    ALL lanes).  One untimed warm sweep after compile settles the tunnel.
     """
     key = jax.random.PRNGKey(0)
-    x0s = jnp.tile(prob.x0[None], (chunks, batch, 1))
+    n_tot = batch * chunks
+    x0s = jnp.tile(prob.x0[None], (n_tot, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
-    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x, method="pallas"))
-    q = fn(x0s[0])
+    fn = jax.jit(lambda x: ag.parallel.solve_many(prob, x, method="pallas",
+                                                  chunk=batch))
+    q = fn(x0s)
     jax.block_until_ready(q.traj.x)
-    out = q
-    for _ in range(2):
-        for c in range(chunks):
-            out = fn(x0s[c])
-    jax.block_until_ready(out.traj.x)
+    q = fn(x0s)
+    jax.block_until_ready(q.traj.x)
     times = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        for c in range(chunks):
-            out = fn(x0s[c])
-        jax.block_until_ready(out.traj.x)
+        q = fn(x0s)
+        jax.block_until_ready(q.traj.x)
         times.append(time.perf_counter() - t0)
-    assert np.all(np.isfinite(np.asarray(out.traj.x))), "non-finite trajs"
-    return batch * chunks / min(times), q
+    assert np.all(np.isfinite(np.asarray(q.traj.x))), "non-finite trajs"
+    return n_tot / min(times), q
 
 
 def main():
@@ -70,19 +71,18 @@ def main():
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
-    # Dispatch shapes (round-4 retune): 128 lanes = ONE Pallas lane tile per
-    # dispatch wins when the tunnel is healthy (the vmapped while_loop pays
-    # fewer max-over-lanes straggler trips; 5-rep warm medians 52-54k at
-    # 128x128..256 vs 41.1k @ 256x64, 39.4k @ 512x32, 28.4k @ 64x256); 256
-    # lanes amortizes the per-dispatch RPC better when the remote tunnel is
-    # in a slow phase.  The tunnel state is outside our control and varies
-    # by 2x between phases, so measure both shapes and report the best —
-    # same workload, same solver, only the dispatch partitioning differs.
+    # Sweep shape: chunks of 128 lanes = ONE Pallas lane tile per kernel
+    # call and the fewest max-over-lanes straggler trips per chunk; 256
+    # lanes runs two tiles per call (better per-call amortization, worse
+    # stragglers).  Since the whole sweep is one dispatch (solve_many), the
+    # tunnel's RPC-phase variance no longer couples to the shape — but the
+    # two chunk sizes still trade straggler vs per-call overhead, so
+    # measure both and report the best.
     if "BENCH_BATCH" in os.environ or "BENCH_CHUNKS" in os.environ:
         shapes = [(int(os.environ.get("BENCH_BATCH", "128")),
                    int(os.environ.get("BENCH_CHUNKS", "256")))]
     else:
-        shapes = [(128, 256), (256, 64)]
+        shapes = [(128, 256), (256, 128)]
 
     best, best_shape, q = -1.0, None, None
     for (batch, chunks) in shapes:

@@ -35,6 +35,31 @@ def test_solve_batch_matches_loop():
     assert 0.0 <= float(frac) <= 1.0
 
 
+def test_solve_many_matches_solve_batch():
+    """On-device chunked sweep == one-shot vmap, lane for lane, including a
+    ragged tail (N not divisible by chunk) and the keys path."""
+    from algames_tpu.parallel import solve_many
+    prob = _prob()
+    N = 7
+    x0s = jnp.tile(prob.x0[None], (N, 1))
+    x0s = x0s + 0.02 * jax.random.normal(jax.random.PRNGKey(3),
+                                         x0s.shape, jnp.float64)
+    ref = solve_batch(prob, x0s)
+    for chunk in (3, 4, 16, None):
+        out = jax.jit(lambda x: solve_many(prob, x, chunk=chunk))(x0s)
+        np.testing.assert_array_equal(np.asarray(out.traj.x),
+                                      np.asarray(ref.traj.x))
+        np.testing.assert_array_equal(np.asarray(out.stats.iter),
+                                      np.asarray(ref.stats.iter))
+    keys = jax.random.split(jax.random.PRNGKey(5), N)
+    ref_k = solve_batch(prob, x0s, keys=keys)
+    out_k = solve_many(prob, x0s, keys=keys, chunk=4)
+    # With the 1e-8 random init, CPU fusion reassociates differently per
+    # batch shape — equal to the one-shot vmap within roundoff.
+    np.testing.assert_allclose(np.asarray(out_k.traj.x),
+                               np.asarray(ref_k.traj.x), atol=1e-12)
+
+
 def test_mesh_shapes_and_scaling_invariance():
     """Weak-scaling correctness: the same scenarios solved on a 1-, 2-, 4-,
     and 8-device mesh produce identical trajectories and summary stats —

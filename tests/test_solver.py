@@ -200,3 +200,17 @@ def test_flat_loop_matches_nested():
     for bf, bn in zip(rf.gc.state_blocks + rf.gc.control_blocks,
                       rn.gc.state_blocks + rn.gc.control_blocks):
         np.testing.assert_array_equal(np.asarray(bf.lam), np.asarray(bn.lam))
+
+    # Options.loop_unroll: N iterations per while trip, per-lane select
+    # guarding the extra sub-iterations — bitwise identical at any unroll.
+    for unroll in (2, 3):
+        ru = jax.jit(jax.vmap(functools.partial(
+            solve, dataclasses.replace(opts_flat, loop_unroll=unroll))))(x0s)
+        np.testing.assert_array_equal(np.asarray(rf.traj.x),
+                                      np.asarray(ru.traj.x))
+        np.testing.assert_array_equal(np.asarray(rf.traj.lam),
+                                      np.asarray(ru.traj.lam))
+        np.testing.assert_array_equal(np.asarray(rf.stats.iter),
+                                      np.asarray(ru.stats.iter))
+        np.testing.assert_array_equal(np.asarray(rf.stats.res),
+                                      np.asarray(ru.stats.res))
