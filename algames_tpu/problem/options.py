@@ -80,11 +80,13 @@ class Options:
     # Each extra sub-iteration is guarded by a per-lane select on the loop
     # condition — exactly the masking JAX's while batching rule applies per
     # trip — so the per-lane iteration sequence is bitwise identical at any
-    # unroll.  >1 halves/thirds the number of while trips and with them the
-    # TPU scalar-core cond evaluations + carry re-selects that dominate the
-    # gap between realized and op-self-time throughput (docs/PERF.md); the
-    # cost is up to unroll-1 wasted (masked) body executions per lane at
-    # the end of its solve and a proportionally larger compiled body.
+    # unroll.  >1 trades while-trip overhead (cond evaluations, batching-
+    # rule carry selects) against the guard selects over the carried
+    # PointData + up to unroll-1 masked tail iterations per lane.  On the
+    # flagship bench this measured NEGATIVE (53.3k -> 51.0k solves/s at
+    # unroll=2, monotonically worse to 44.9k at 4): trip overhead there is
+    # already small and the guard selects dominate.  Kept for problems with
+    # much deeper iteration counts relative to body cost; default 1.
     loop_unroll: int = 1
 
     # Adaptive penalty safeguard (NOT in the reference, opt-in): ramp the

@@ -43,17 +43,21 @@ def main():
 
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
     key = jax.random.PRNGKey(0)
-    x0s = jnp.tile(prob.x0[None], (args.chunks, args.batch, 1))
+    n_tot = args.chunks * args.batch
+    x0s = jnp.tile(prob.x0[None], (n_tot, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
 
-    fn = jax.jit(lambda x: ag.parallel.solve_batch(prob, x,
-                                                   method=args.method))
-    jax.block_until_ready(fn(x0s[0]).traj.x)   # compile
+    # Same program the bench times: the whole sweep is ONE dispatch with the
+    # chunk loop on device (parallel.solve_many).
+    fn = jax.jit(lambda x: ag.parallel.solve_many(prob, x,
+                                                  method=args.method,
+                                                  chunk=args.batch))
+    jax.block_until_ready(fn(x0s).traj.x)   # compile
 
     os.system(f"rm -rf {args.logdir}")
     with jax.profiler.trace(args.logdir):
-        outs = [fn(x0s[c]) for c in range(args.chunks)]
-        jax.block_until_ready(outs)
+        out = fn(x0s)
+        jax.block_until_ready(out.traj.x)
 
     # Locate the raw .xplane.pb and convert to hlo_stats.
     planes = glob.glob(os.path.join(args.logdir, "**", "*.xplane.pb"),
