@@ -292,18 +292,15 @@ def _outer_update(opts, traj, gc, rho, last_vio, prev_cvio, active):
     return converged, gc, rho, prev_cvio
 
 
-def _solve_flat(prob: GameProblem, traj0, pd0, gc0, stats0, rho0, method):
-    """Flattened AL×Newton loop: ONE ``lax.while_loop`` over a (k, l) state
-    machine instead of nested outer/inner loops.
+def flat_machine(prob: GameProblem, method):
+    """The flat (k, l) AL×Newton state machine as ``(cond, body, init)``.
 
-    Per-lane semantics are identical to the nested path (same iteration
-    sequence, same floating-point ops).  The payoff is batched: JAX's
-    ``while_loop`` batching rule runs every lane until the slowest lane's
-    cond clears, so nested loops cost ``sum_k max_lanes(inner_trips_k)``
-    body executions while the flat machine costs
-    ``max_lanes(sum_k inner_trips_k)`` — strictly fewer whenever lanes hit
-    their expensive Newton rounds at different outer iterations (straggler
-    mitigation for the Monte-Carlo/bench batches).
+    ``cond``/``body`` operate on ONE lane's carry (a flat tuple) and vmap
+    cleanly; :func:`_solve_flat` drives them with a ``lax.while_loop``.
+    ``init(traj0, pd0, gc0, stats0, rho0)`` builds the initial carry.
+    Exposed as a seam for alternative batch schedulers (a lane-compacted
+    FIFO-pool driver was built and measured on this seam in round 4 — see
+    docs/PERF.md "attempts that did NOT pay" for why it lost).
     """
     spec, model, opts = prob.spec, prob.model, prob.opts
     dtype = prob.x0.dtype
@@ -342,6 +339,31 @@ def _solve_flat(prob: GameProblem, traj0, pd0, gc0, stats0, rho0, method):
         return (k, l, done, traj, pd, gc, rho, stats, last_vio, delta_prev,
                 alpha_prev, prev_cvio, delta_fin)
 
+    def init(traj0, pd0, gc0, stats0, rho0):
+        return (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(False), traj0, pd0, gc0, rho0, stats0,
+                jnp.full((4,), inf), jnp.zeros((), dtype),
+                jnp.asarray(1.0, dtype), inf, jnp.zeros((), dtype))
+
+    return cond, body, init
+
+
+def _solve_flat(prob: GameProblem, traj0, pd0, gc0, stats0, rho0, method):
+    """Flattened AL×Newton loop: ONE ``lax.while_loop`` over a (k, l) state
+    machine instead of nested outer/inner loops.
+
+    Per-lane semantics are identical to the nested path (same iteration
+    sequence, same floating-point ops).  The payoff is batched: JAX's
+    ``while_loop`` batching rule runs every lane until the slowest lane's
+    cond clears, so nested loops cost ``sum_k max_lanes(inner_trips_k)``
+    body executions while the flat machine costs
+    ``max_lanes(sum_k inner_trips_k)`` — strictly fewer whenever lanes hit
+    their expensive Newton rounds at different outer iterations (straggler
+    mitigation for the Monte-Carlo/bench batches).
+    """
+    opts = prob.opts
+    cond, body, init = flat_machine(prob, method)
+
     if opts.loop_unroll > 1:
         # Run `loop_unroll` iterations per while trip.  Sub-iterations past
         # the first are guarded by a per-lane select on this lane's own
@@ -359,12 +381,9 @@ def _solve_flat(prob: GameProblem, traj0, pd0, gc0, stats0, rho0, method):
                 c = _where_tree(live, body_1(c), c)
             return c
 
-    init = (jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), traj0, pd0, gc0, rho0, stats0,
-            jnp.full((4,), inf), jnp.zeros((), dtype),
-            jnp.asarray(1.0, dtype), inf, jnp.zeros((), dtype))
     (k, _, done, traj, pd, gc, rho, stats, last_vio, _, _, _,
-     delta_fin) = jax.lax.while_loop(cond, body, init)
+     delta_fin) = jax.lax.while_loop(
+        cond, body, init(traj0, pd0, gc0, stats0, rho0))
     return k, traj, pd, gc, rho, stats, delta_fin
 
 
@@ -380,22 +399,8 @@ def newton_solve(prob: GameProblem, key=None, method: str = "schur",
     """
     spec, model, opts = prob.spec, prob.model, prob.opts
     dtype = prob.x0.dtype
-
-    # Initial trajectory: small random primal-dual init + RK3 rollout
-    # (solver_methods.jl:12-18).
-    traj0 = init_traj(spec, prob.x0, key=key, amplitude=opts.amplitude_init,
-                      shift=opts.shift, prev=warm)
-    traj0 = PrimalDual(x=rollout_rk3(model, prob.x0, traj0.u, spec.dt),
-                       u=traj0.u, lam=traj0.lam)
-
-    gc0 = gcm.reset_constraints(prob.gc) if opts.dual_reset else prob.gc
-    stats0 = init_stats(opts.outer_iter * opts.inner_iter + 1, dtype)
-    rho0 = jnp.asarray(opts.rho_0, dtype)
     inf = jnp.asarray(jnp.inf, dtype)
-    # Point data at the initial iterate; each accepted line-search step hands
-    # the next iteration its PointData, so this is the only fresh full
-    # evaluation outside the line search.
-    pd0 = R.point_data(model, spec, prob.obj, gc0, traj0)
+    traj0, pd0, gc0, stats0, rho0 = solve_init(prob, key=key, warm=warm)
 
     if opts.flat_loop:
         k, traj, pd, gc, rho, stats, delta = _solve_flat(
@@ -428,8 +433,34 @@ def newton_solve(prob: GameProblem, key=None, method: str = "schur",
         k, done, traj, pd, gc, rho, stats, last_vio, delta, _ = (
             jax.lax.while_loop(cond, body, init))
 
-    # Final record at the solution (solver_methods.jl:64) — rebuilt from the
-    # carried point data (bitwise what a fresh evaluation would produce).
+    return solve_finalize(prob, k, traj, pd, gc, rho, stats, delta)
+
+
+def solve_init(prob: GameProblem, key=None, warm: PrimalDual | None = None):
+    """Per-lane solve setup (reference ``solver_methods.jl:12-18``): random
+    small-amplitude primal-dual init + RK3 rollout, AL state reset, stats
+    buffer, penalty schedule, and the PointData at the initial iterate (the
+    only fresh full point evaluation outside the line search — each accepted
+    line-search step hands the next iteration its PointData)."""
+    spec, model, opts = prob.spec, prob.model, prob.opts
+    dtype = prob.x0.dtype
+    traj0 = init_traj(spec, prob.x0, key=key, amplitude=opts.amplitude_init,
+                      shift=opts.shift, prev=warm)
+    traj0 = PrimalDual(x=rollout_rk3(model, prob.x0, traj0.u, spec.dt),
+                       u=traj0.u, lam=traj0.lam)
+    gc0 = gcm.reset_constraints(prob.gc) if opts.dual_reset else prob.gc
+    stats0 = init_stats(opts.outer_iter * opts.inner_iter + 1, dtype)
+    rho0 = jnp.asarray(opts.rho_0, dtype)
+    pd0 = R.point_data(model, spec, prob.obj, gc0, traj0)
+    return traj0, pd0, gc0, stats0, rho0
+
+
+def solve_finalize(prob: GameProblem, k, traj, pd, gc, rho, stats, delta):
+    """Final record at the solution (``solver_methods.jl:64``) — rebuilt
+    from the carried point data (bitwise what a fresh evaluation would
+    produce); wraps everything into a :class:`SolveResult`."""
+    spec = prob.spec
+    dtype = prob.x0.dtype
     res = R.residual_from_point(spec, gc, pd)
     res_norm = R.residual_norm(spec, res)
     dyn_v = R.dynamics_violation(res)
