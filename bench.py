@@ -46,7 +46,7 @@ def _measure(ag, prob, dtype, batch, chunks, reps):
     x0s = jnp.tile(prob.x0[None], (n_tot, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
     fn = jax.jit(lambda x: ag.parallel.solve_many(prob, x, method="pallas",
-                                                  chunk=batch))
+                                                  chunk=batch, unroll=2))
     q = fn(x0s)
     jax.block_until_ready(q.traj.x)
     q = fn(x0s)
@@ -72,27 +72,18 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
     # Sweep shape: chunks of 128 lanes = ONE Pallas lane tile per kernel
-    # call and the fewest max-over-lanes straggler trips per chunk; 256
-    # lanes runs two tiles per call (better per-call amortization, worse
-    # stragglers).  Since the whole sweep is one dispatch (solve_many), the
-    # tunnel's RPC-phase variance no longer couples to the shape — but the
-    # two chunk sizes still trade straggler vs per-call overhead, so
-    # measure both and report the best.
-    if "BENCH_BATCH" in os.environ or "BENCH_CHUNKS" in os.environ:
-        shapes = [(int(os.environ.get("BENCH_BATCH", "128")),
-                   int(os.environ.get("BENCH_CHUNKS", "256")))]
-    else:
-        shapes = [(128, 256), (256, 128)]
+    # call and the fewest max-over-lanes straggler trips per chunk.  Since
+    # the whole sweep is one dispatch (solve_many), the tunnel's RPC-phase
+    # variance no longer couples to the shape, and 128-lane chunks beat
+    # 256-lane chunks decisively in every phase (54.3k vs 43.3k; the
+    # round-4 two-shape measurements are in benchmarks/ + docs/PERF.md),
+    # so one shape is measured.  Env overrides remain for sweeps.
+    batch = int(os.environ.get("BENCH_BATCH", "128"))
+    chunks = int(os.environ.get("BENCH_CHUNKS", "256"))
 
-    best, best_shape, q = -1.0, None, None
-    for (batch, chunks) in shapes:
-        sps, q0 = _measure(ag, prob, dtype, batch, chunks, reps)
-        print(f"[bench] {batch}x{chunks}: {sps:.0f} solves/s",
-              file=sys.stderr)
-        if sps > best:
-            best, best_shape, q = sps, (batch, chunks), q0
-    batch, chunks = best_shape
-    solves_per_s = best
+    solves_per_s, q = _measure(ag, prob, dtype, batch, chunks, reps)
+    print(f"[bench] {batch}x{chunks}: {solves_per_s:.0f} solves/s",
+          file=sys.stderr)
 
     # Solution quality at the winning shape (per-lane convergence gates).
     frac = float(ag.parallel.convergence_fraction(q, prob.opts))
@@ -120,13 +111,9 @@ def main():
     # headline comparable to the reference's own defaults (VERDICT r2 #2).
     # Goes to stderr: the driver contract is ONE stdout JSON line.
     prob_d, _ = _flagship_problem(dtype=dtype, outer=7, inner=20)
-    sps_d, qd = -1.0, None
-    for (b_d, c_d) in shapes:
-        s_d, q_d = _measure(ag, prob_d, dtype, b_d, c_d, reps)
-        print(f"[bench-default-budget] {b_d}x{c_d}: {s_d:.0f} solves/s",
-              file=sys.stderr)
-        if s_d > sps_d:
-            sps_d, qd = s_d, q_d
+    sps_d, qd = _measure(ag, prob_d, dtype, batch, chunks, reps)
+    print(f"[bench-default-budget] {batch}x{chunks}: {sps_d:.0f} solves/s",
+          file=sys.stderr)
     frac_d = float(ag.parallel.convergence_fraction(qd, prob_d.opts))
     print("[bench-default-budget] " + json.dumps({
         "metric": "3p_unicycle_N20_solves_per_s_per_chip_outer7_inner20",

@@ -45,12 +45,24 @@ def test_solve_many_matches_solve_batch():
     x0s = x0s + 0.02 * jax.random.normal(jax.random.PRNGKey(3),
                                          x0s.shape, jnp.float64)
     ref = solve_batch(prob, x0s)
-    for chunk in (3, 4, 16, None):
-        out = jax.jit(lambda x: solve_many(prob, x, chunk=chunk))(x0s)
+    for chunk, unroll in ((3, 1), (4, 1), (4, 2), (16, 1), (None, 1)):
+        out = jax.jit(lambda x, c=chunk, u=unroll: solve_many(
+            prob, x, chunk=c, unroll=u))(x0s)
         np.testing.assert_array_equal(np.asarray(out.traj.x),
                                       np.asarray(ref.traj.x))
         np.testing.assert_array_equal(np.asarray(out.stats.iter),
                                       np.asarray(ref.stats.iter))
+    # Per-chunk on-device reduction: [C, ...] outputs, no materialized
+    # SolveResults; values match the full-output path chunk for chunk.
+    red = jax.jit(lambda x: solve_many(
+        prob, x, chunk=4,
+        reduce=lambda r: (r.traj.x, jnp.max(r.stats.iter))))(x0s)
+    np.testing.assert_array_equal(
+        np.asarray(red[0]).reshape(-1, *ref.traj.x.shape[1:])[:N],
+        np.asarray(ref.traj.x))
+    assert red[1].shape == (2,)
+    assert int(jnp.max(red[1])) == int(jnp.max(ref.stats.iter))
+
     keys = jax.random.split(jax.random.PRNGKey(5), N)
     ref_k = solve_batch(prob, x0s, keys=keys)
     out_k = solve_many(prob, x0s, keys=keys, chunk=4)
