@@ -41,8 +41,9 @@ def solve_many(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",
     live simultaneously and runs each ``while_loop`` trip over all N lanes
     (max-over-lanes straggler semantics).  ``solve_many`` splits the sweep
     into ``ceil(N / chunk)`` chunks of ``chunk`` lanes and runs them
-    sequentially *inside* the jitted computation via ``lax.map`` — ONE
-    device dispatch for the whole sweep.  A host-side chunk loop pays a
+    sequentially *inside* the jitted computation via ``lax.scan`` (with a
+    ``None`` carry; ``unroll`` bodies per scan step) — ONE device dispatch
+    for the whole sweep.  A host-side chunk loop pays a
     dispatch round-trip per chunk (the remote-tunnel RPC is ~25 ms, 10x a
     chunk's device time) and leaves the device idle between dispatches;
     the on-device loop back-to-backs the chunks (round-4 profile: measured
@@ -61,8 +62,14 @@ def solve_many(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",
     For sweeps too large to keep every result, pass ``reduce``: a function
     applied to each chunk's SolveResult on device; only its outputs are
     materialized, stacked with the CHUNK index as the leading axis
-    (``[ceil(N/chunk), ...]``, no tail trimming — padded tail lanes, if
-    any, land in the final chunk).  E.g.
+    (``[ceil(N/chunk), ...]`` — in the degenerate single-``solve_batch``
+    case the leading axis is 1).  There is no tail trimming: when
+    ``chunk`` does not divide N, the final chunk is ceil-padded with
+    copies of row 0, and those padded lanes ARE included in that chunk's
+    reduction — lane-aggregating reductions (means, convergence
+    fractions) must account for this, e.g. by reducing with sums/counts
+    and subtracting the known pad contribution, or by choosing
+    ``chunk | N``.  E.g.
     ``reduce=lambda r: (r.traj.x, r.stats.iter)`` keeps trajectories and
     iteration counts but drops duals/stats — a million-scenario sweep then
     needs MBs, not GBs, and stays one dispatch.
@@ -70,7 +77,10 @@ def solve_many(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",
     N = x0s.shape[0]
     if chunk is None or chunk >= N:
         out = solve_batch(prob, x0s, method=method, keys=keys)
-        return reduce(out) if reduce is not None else out
+        if reduce is not None:
+            # Leading chunk axis of 1, matching the chunked path's [C, ...].
+            return jax.tree_util.tree_map(lambda a: a[None], reduce(out))
+        return out
     C = -(-N // chunk)                       # ceil
     pad = C * chunk - N
 
@@ -98,8 +108,8 @@ def solve_many(prob: GameProblem, x0s: jnp.ndarray, method: str = "schur",
         lambda a: a.reshape((C * chunk,) + a.shape[2:])[:N], out)
 
 
-solve_many_jit = jax.jit(solve_many,
-                         static_argnames=("method", "chunk", "unroll"))
+solve_many_jit = jax.jit(
+    solve_many, static_argnames=("method", "chunk", "unroll", "reduce"))
 
 
 def divergence_mask(result) -> jnp.ndarray:

@@ -63,10 +63,12 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg,
 
     With ``opts.ls_parallel = K > 0`` the first K backtracking trials are
     evaluated in ONE vectorized residual pass and the first passing trial is
-    accepted — bitwise the same accept decision as the sequential loop, but
-    a vmapped batch no longer serializes on its deepest lane.  Trials beyond
-    K (rare: the depth histogram of the flagship bench puts p99 at 2) run in
-    the reference's sequential loop.
+    accepted — the same accept decision as the sequential loop (identical
+    alpha/depth sequences; the carried trial values differ by ~1 ULP across
+    K because XLA fuses the K-lane trial window differently — pinned by
+    ``tests/test_ls_parallel.py``), but a vmapped batch no longer serializes
+    on its deepest lane.  Trials beyond K (rare: the depth histogram of the
+    flagship bench puts p99 at 2) run in the reference's sequential loop.
 
     ``pd`` is the :class:`~..problem.residual.PointLite` evaluated at the
     accepted trial point — the next iteration rebuilds its residual/Jacobian

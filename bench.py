@@ -31,7 +31,7 @@ def _measure(ag, prob, dtype, batch, chunks, reps):
     """Steady-state solves/s for one sweep shape.
 
     The whole ``batch * chunks`` sweep is ONE device dispatch:
-    ``parallel.solve_many`` runs the chunk loop on device via ``lax.map``
+    ``parallel.solve_many`` runs the chunk loop on device via ``lax.scan``
     (chunks of ``batch`` lanes back-to-back inside the jitted computation).
     A host-side chunk loop pays a ~25 ms dispatch RPC through the axon
     tunnel per chunk; in the tunnel's slow phases that collapsed throughput

@@ -41,10 +41,14 @@ gc = ag.add_collision_avoidance(spec, gc, 0.05)
 x0 = jnp.asarray([0.0, 0.0, 0.0, -0.4, 0.0, 0.4, 0.0, 0.0, 0.0,
                   0.5, 0.5, 0.5])
 opts = ag.Options(reg_0=1e-7)
+ibr_iter = 10
+if os.environ.get("SMOKE"):   # reduced budget for the test-suite smoke run
+    opts = ag.Options(reg_0=1e-7, outer_iter=2, inner_iter=4)
+    ibr_iter = 2
 prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
 
 nash = ag.newton_solve_jit(prob)
-ibr = ibr_newton_solve(prob, IBROptions(ibr_iter=10))
+ibr = ibr_newton_solve(prob, IBROptions(ibr_iter=ibr_iter))
 
 i_n, i_b = int(nash.stats.iter), int(ibr.stats.iter)
 print(f"Nash solver:  res = {float(nash.stats.res[i_n - 1]):.2e}")

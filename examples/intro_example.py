@@ -59,6 +59,8 @@ x0 = jnp.asarray([0.1, 0.0, 0.5, -0.4, 0.0, 0.7,
                   0.0, 0.0, 0.0, 0.0, 0.0, 0.0], dtype)
 
 opts = ag.Options()
+if os.environ.get("SMOKE"):   # reduced budget for the test-suite smoke run
+    opts = ag.Options(outer_iter=2, inner_iter=4)
 prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
 
 t0 = time.time()

@@ -33,6 +33,8 @@ import algames_tpu as ag
 
 def main():
     p, N, dt = 2, 129, 0.05
+    if os.environ.get("SMOKE"):   # reduced budget for the test-suite smoke
+        N = 33                    # T=32: still 4 knots/device on 8 devices
     model = ag.unicycle_game(p=p)
     spec = ag.spec_from_model(model, N, dt)
     obj = ag.game_objective(
@@ -46,6 +48,8 @@ def main():
     gc = ag.add_control_bound(spec, gc, 2 * jnp.ones(spec.m),
                               -2 * jnp.ones(spec.m))
     opts = ag.Options(outer_iter=4, inner_iter=10)
+    if os.environ.get("SMOKE"):
+        opts = ag.Options(outer_iter=2, inner_iter=4)
     x0 = jnp.asarray([0.0, -0.5, 0.0, 0.3, 0.0, 0.0, 0.6, 0.4])
     prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
 

@@ -76,7 +76,10 @@ def main():
     x0 = jnp.asarray(
         np.concatenate([np.zeros(p), 0.4 * np.arange(p), np.zeros(p),
                         0.3 * np.ones(p)]))
-    prob = ag.game_problem(N, dt, x0, model, ag.Options(), obj, gc)
+    opts = ag.Options()
+    if os.environ.get("SMOKE"):   # reduced budget for the test-suite smoke
+        opts = ag.Options(outer_iter=3, inner_iter=8)
+    prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
 
     out = ag.newton_solve(prob, method="tridiag")
     prob = ag.GameProblem(spec=spec, model=model, opts=prob.opts, x0=prob.x0,

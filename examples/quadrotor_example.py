@@ -48,6 +48,8 @@ x0 = jnp.zeros(spec.n)
 x0 = x0.at[np.asarray([spec.pz[i][2] for i in range(p)])].set(1.0)  # z = 1
 x0 = x0.at[spec.pz[1][1]].set(0.3)                                  # y offset
 opts = ag.Options(outer_iter=6, inner_iter=12)
+if os.environ.get("SMOKE"):   # reduced budget for the test-suite smoke run
+    opts = ag.Options(outer_iter=2, inner_iter=4)
 prob = ag.game_problem(N, dt, x0, model, opts, obj, gc)
 
 out = ag.newton_solve_jit(prob)

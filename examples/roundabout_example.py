@@ -58,6 +58,8 @@ for i in range(p):
     x0[spec.pz[i][2]] = headings[i]
     x0[spec.pz[i][3]] = 0.3 + 0.1 * i   # staggered entry speeds
 opts = ag.Options(outer_iter=10, inner_iter=16)
+if os.environ.get("SMOKE"):   # reduced budget for the test-suite smoke run
+    opts = ag.Options(outer_iter=2, inner_iter=4)
 prob = ag.game_problem(N, dt, jnp.asarray(x0), model, opts, obj, gc)
 
 t0 = time.time()
