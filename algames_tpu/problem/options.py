@@ -49,6 +49,13 @@ class Options:
     # whose accept-depth histogram has real mass past 1.
     ls_parallel: int = 1
 
+    # Fuse the line-search trial evaluation (trial point + residual +
+    # constraint values + norm) into one lane-last Pallas kernel on the
+    # ``pallas`` method path (``ops/trial_pallas.py``).  Changes trial-value
+    # op order (accept decisions may differ at ULP margins vs the XLA
+    # pass); off by default.
+    ls_fused: bool = False
+
     # Augmented Lagrangian penalty schedule.
     rho_0: float = 1.0
     rho_trial: float = 1.0

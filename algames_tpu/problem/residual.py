@@ -347,7 +347,13 @@ def point_lite_res(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
 
     rx = jnp.transpose(qx[:, 1:], (1, 0, 2))
     owner = owner_map_u(spec)
-    ru = ru_cost[owner, :, np.arange(m)].T
+    # Owner-pick as a one-hot broadcast-sum, not a 3D gather: bitwise the
+    # same selection (single nonzero per column) and Mosaic-lowerable when
+    # this path runs inside the fused trial kernel (ops/trial_pallas.py).
+    selu = np.zeros((spec.p, m))
+    selu[owner, np.arange(m)] = 1.0
+    selu_j = jnp.asarray(selu, ru_cost.dtype)
+    ru = jnp.sum(ru_cost * selu_j[:, None, :], axis=0)            # [T, m]
     # Dynamics-dual terms A_k^T lam_k / B_k^T lam_k as one VJP per knot with
     # the p player cotangents pulled through a shared forward pass — p pulls
     # instead of n+m jacfwd tangents (the [T, n, n+m] Jacobian is deferred to
@@ -361,7 +367,7 @@ def point_lite_res(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     # write cost ~4% of device time in the round-3 profile.
     rx = rx + jnp.concatenate([gx[1:], jnp.zeros_like(gx[:1])], axis=0)
     rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
-    ru = ru + gu[:, owner, np.arange(m)]
+    ru = ru + jnp.sum(gu * selu_j[None], axis=1)                  # [T, m]
 
     rd = dynamics_residual(model, spec, traj)
 
@@ -420,7 +426,10 @@ def _al_grad(blk, J, w):
         mu_, ml_ = jnp.asarray(m[:dim], w.dtype), jnp.asarray(m[dim:], w.dtype)
         return w[:, :dim] * mu_ - w[:, dim:] * ml_
     if J.shape[1] == 1:
-        return J[:, 0, :] * w[:, 0, None]
+        # w is [K, 1]: broadcast directly (w[:, 0, None] lowers to a
+        # dynamic-index gather, which Mosaic cannot batch >2D inside the
+        # fused trial kernel).
+        return J[:, 0, :] * w
     return jnp.einsum('kcd,kc->kd', J, w)
 
 

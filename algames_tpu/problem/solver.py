@@ -55,7 +55,7 @@ class SolveResult:
 
 
 def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg,
-                norm_fn=None):
+                norm_fn=None, trial_fn=None):
     """Backtracking line search (reference ``line_search``,
     ``solver_methods.jl:105-125``).  Accept alpha iff the trial mean residual
     (with Tikhonov pull toward the current iterate) improves by (1-alpha*beta).
@@ -89,21 +89,41 @@ def line_search(model, spec, obj, gc, opts, traj, dtraj, res_norm, reg,
     if norm_fn is None:
         norm_fn = R.residual_norm     # IBR passes the player-rows norm
 
-    def trial_point(alpha):
-        trial = update_traj(traj, alpha, dtraj)
-        pd, res_t = R.point_lite_res(model, spec, obj, gc, trial)
-        # Tikhonov pull toward the current iterate (residual's reg term),
-        # applied in the same op order as R.residual(reg, traj_ref).
-        rx = res_t.rx + reg_eff * (trial.x[1:] - traj.x[1:])[:, None, :]
-        ru = res_t.ru + reg_eff * (trial.u - traj.u)
-        tn = norm_fn(spec, R.Residual(rx=rx, ru=ru, rd=res_t.rd))
-        return tn, pd
+    if trial_fn is not None:
+        # Fused Pallas trial evaluation (Options.ls_fused): the whole
+        # trial — point formation, residual, constraint values, Tikhonov
+        # pull, L1 norm — is one lane-last kernel (ops/trial_pallas.py).
+        reg_arr = (reg if opts.regularize
+                   else jnp.zeros((), dtype))
+        def trial_point(alpha):
+            return trial_fn(traj, dtraj, alpha, jnp.asarray(reg_arr, dtype),
+                            gc, obj)
+    else:
+        def trial_point(alpha):
+            trial = update_traj(traj, alpha, dtraj)
+            pd, res_t = R.point_lite_res(model, spec, obj, gc, trial)
+            # Tikhonov pull toward the current iterate (residual's reg
+            # term), applied in the same op order as R.residual(reg,
+            # traj_ref).
+            rx = res_t.rx + reg_eff * (trial.x[1:] - traj.x[1:])[:, None, :]
+            ru = res_t.ru + reg_eff * (trial.u - traj.u)
+            tn = norm_fn(spec, R.Residual(rx=rx, ru=ru, rd=res_t.rd))
+            return tn, pd
 
     # At least one vectorized trial so the carried pd always starts defined.
     K = max(1, min(int(opts.ls_parallel), opts.ls_iter - 1))
     alphas = (opts.alpha_0
               * opts.alpha_decrease ** jnp.arange(K, dtype=dtype))
-    tns, pds = jax.vmap(trial_point)(alphas)
+    if trial_fn is not None:
+        # No vmap over the alpha window: a nested vmap cannot re-batch the
+        # kernel's custom_vmap.  K separate kernel calls (K=1 by default;
+        # the outer scenario vmap still batches each call's lanes).
+        outs = [trial_point(alphas[j]) for j in range(K)]
+        tns = jnp.stack([o[0] for o in outs])
+        pds = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs),
+                                     *[o[1] for o in outs])
+    else:
+        tns, pds = jax.vmap(trial_point)(alphas)
     ok = tns <= (1.0 - alphas * opts.beta) * res_norm
     any_ok = jnp.any(ok)
     first = jnp.argmax(ok)                    # index of first passing trial
@@ -207,8 +227,14 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
             "'dense'")
     dtraj = unpack_step(spec, dflat)
 
+    trial_fn = None
+    if opts.ls_fused and method in ("pallas", "pallas_interpret"):
+        from ..ops.trial_pallas import fused_trial_for_spec
+        trial_fn = fused_trial_for_spec(
+            model, spec, interpret=(method == "pallas_interpret"))
     alpha, j, found, lite = line_search(model, spec, obj, gc, opts, traj,
-                                        dtraj, res_norm, reg)
+                                        dtraj, res_norm, reg,
+                                        trial_fn=trial_fn)
     failed_ls = j >= opts.ls_iter
     traj_new = update_traj(traj, alpha, dtraj)
     delta = delta_step(dtraj, alpha)

@@ -12,10 +12,22 @@ Artifacts (``benchmarks/results/``):
   with the convergence gates and budget it was measured at
   (``schema_version: 2``; v1 keys ``p50/p95/min/within_budget`` are kept as
   aliases of the ``*_via_tunnel`` fields — the headline ``within_budget_device``
-  verdict refers to the pipelined DEVICE floor, the deployment-relevant
+  verdict refers to the ON-DEVICE closed-loop floor, the deployment-relevant
   number on a host-local TPU; ``within_budget_via_tunnel`` is the same
   check on per-dispatch latency THROUGH this environment's ~25 ms-RTT
   tunnel).
+
+  The device floor is measured the only way this environment allows an
+  honest one: the ENTIRE closed loop runs on device (``mpc.mpc_solve``, a
+  ``lax.scan`` over replans) so H replans cost ONE tunnel dispatch and the
+  per-replan time is wall/H.  Host-side "pipelined" loops (issue H
+  dispatches, sync once) measure the tunnel's dispatch-THROUGHPUT phases,
+  not the device: round-5 measurement on identical binaries put the
+  host-pipelined loop at 121 ms/step against 25.8 ms/step for the fully
+  SYNCED loop — queued dispatches serialize ~5x slower than round-trips in
+  the tunnel's slow phases, with or without buffer donation (the round-4
+  artifact/comment contradiction, VERDICT r4 weak #1, was this artifact:
+  both numbers were tunnel phases, neither was the device).
 * ``mpc_closedloop.json`` — correctness of the EXECUTED closed loop
   (VERDICT r4 #6): min pairwise inter-player distance vs the 2r collision
   gate, per-replan convergence fraction, and control-bound violations of
@@ -65,9 +77,14 @@ def make_problem(ag, dtype):
                               -U_LIM * jnp.ones(2 * p, dtype))
     # dual_reset=False: warm-start the AL multipliers across replans
     # (penalties restart at mu0 each replan via reset_penalties).
-    # eps_opt=1e-2 is the documented f32 stationarity floor (presets.py).
-    opts = ag.Options(outer_iter=2, inner_iter=6, shift=1, dual_reset=False,
-                      eps_opt=1e-2)
+    # Budget outer=3 x inner=8 at the REFERENCE-DEFAULT gates (all 1e-3):
+    # with the on-device closed loop measuring a ~1 ms/replan floor
+    # (round 5), full-tolerance replans cost ~1/30th of the 100 ms budget.
+    # (The round-4 2x6 budget + 1e-2 eps_opt were tuned against
+    # tunnel-phase latency noise; the relaxed eps_opt also made the
+    # inner-loop early exit fire on warm starts while dyn_vio was still
+    # ~8e-3 — measured replan_converged_frac 0.76.)
+    opts = ag.Options(outer_iter=3, inner_iter=8, shift=1, dual_reset=False)
     x0 = jnp.asarray(np.concatenate([
         [0.0, -0.5, -1.0], 0.4 * np.arange(p), np.zeros(p),
         0.8 + 0.3 * np.arange(p)]), dtype)
@@ -117,22 +134,22 @@ def main():
         warm = traj
     lat = np.asarray(lat[2:]) * 1e3  # drop residual warmup
 
-    # Pipelined device floor: the same closed loop issued WITHOUT per-step
-    # host sync (each replan still depends on the previous plan, so the
-    # device runs them back-to-back).  Separates the true device+queue time
-    # per replan from the ~25 ms axon-tunnel dispatch RPC that dominates —
-    # and whose host-side jitter moves — the per-call p50/p95 above.
-    warm_p, gc_p, x_p = warm, gc_warm, x
-    K = 28
-    t0 = time.perf_counter()
-    for _ in range(K):
-        traj_p, gc_p, _ = replan_jit(x_p, warm_p, gc_p)
-        u0 = traj_p.u[0]
-        x_p = rk3_step(model, x_p, u0, spec.dt / 2)
-        x_p = rk3_step(model, x_p, u0, spec.dt / 2)
-        warm_p = traj_p
-    jax.block_until_ready(traj_p.x)
-    pipelined_ms = (time.perf_counter() - t0) / K * 1e3
+    # Device floor: the whole closed loop ON DEVICE (one lax.scan over H
+    # replans = ONE tunnel dispatch; see module docstring for why host-side
+    # pipelining cannot measure this).  wall/H charges 1/H of one ~25 ms
+    # RPC to each replan (<1 ms at H=30).
+    from algames_tpu.mpc import mpc_solve
+    H = 30
+    loop_fn = jax.jit(lambda pr: mpc_solve(pr, horizon=H, method="schur"))
+    r = loop_fn(prob)
+    jax.block_until_ready(r.states)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        r = loop_fn(prob)
+        jax.block_until_ready(r.states)
+        times.append(time.perf_counter() - t0)
+    pipelined_ms = min(times) / H * 1e3
 
     p50_t = round(float(np.percentile(lat, 50)), 2)
     p95_t = round(float(np.percentile(lat, 95)), 2)
@@ -142,6 +159,8 @@ def main():
         "schema_version": 2,
         "metric": "mpc_replan_latency_ms",
         "device_ms_per_replan": round(pipelined_ms, 2),
+        "device_measurement": "on-device lax.scan closed loop, wall/H",
+        "closedloop_steps": H,
         "budget_ms": BUDGET_MS,
         # The deployment-relevant comparison: on a robot the TPU is host-
         # local (~sub-ms dispatch), so replan latency ~= the device floor.
@@ -204,21 +223,29 @@ def main():
     lat_b = np.asarray(lat_b[2:]) * 1e3
     p50_b = float(np.percentile(lat_b, 50))
 
-    # Pipelined device floor for the batched closed loop (no per-step host
-    # sync), same separation as the single-scenario metric.
-    t0 = time.perf_counter()
-    for _ in range(K):
-        traj_b, gc_b, _ = replan_b(xs, warm_b, gc_b)
-        xs = step2(xs, traj_b.u[:, 0])
-        warm_b = traj_b
-    jax.block_until_ready(traj_b.x)
-    pipelined_b_ms = (time.perf_counter() - t0) / K * 1e3
+    # Device floor for the batched closed loop: vmapped on-device scan
+    # (one dispatch for all B scenarios x H steps), same separation as the
+    # single-scenario metric.  The Pallas KKT engine batches the B lanes.
+    import dataclasses
+    loop_b = jax.jit(jax.vmap(lambda x: mpc_solve(
+        dataclasses.replace(prob, x0=x), horizon=H, method="pallas")))
+    rb = loop_b(xs)
+    jax.block_until_ready(rb.states)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rb = loop_b(xs)
+        jax.block_until_ready(rb.states)
+        times.append(time.perf_counter() - t0)
+    pipelined_b_ms = min(times) / H * 1e3
 
     batched = {
         "schema_version": 2,
         "metric": "mpc_batched_replan_latency_ms",
         "batch": B,
         "device_ms_per_step": round(pipelined_b_ms, 2),
+        "device_measurement": "on-device vmapped lax.scan closed loop, wall/H",
+        "closedloop_steps": H,
         "scenario_replans_per_s_device": round(B / (pipelined_b_ms * 1e-3),
                                                1),
         "budget_ms": BUDGET_MS,
