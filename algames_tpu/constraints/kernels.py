@@ -45,34 +45,28 @@ class CollisionParams:
     pxj: Tuple[int, ...]
 
 
-def _collision_sel(par: CollisionParams, n: int) -> np.ndarray:
-    """Static one-hot difference matrix D [n, dim]: x @ D = x[pxi] - x[pxj].
-    Written as a broadcast-multiply + sum (not a gather/scatter) so the
-    evaluation lowers inside Pallas kernels (Mosaic supports only 2D
-    gathers; the fused trial kernel vmaps this per lane).  Bitwise equal to
-    the indexed form: each column has exactly one +1 and one -1."""
-    dim = len(par.pxi)
-    D = np.zeros((n, dim))
-    D[np.asarray(par.pxi), np.arange(dim)] = 1.0
-    D[np.asarray(par.pxj), np.arange(dim)] -= 1.0
-    return D
-
-
 def collision_evaluate(par: CollisionParams, xs: jnp.ndarray) -> jnp.ndarray:
-    D = jnp.asarray(_collision_sel(par, xs.shape[1]), xs.dtype)
-    d = jnp.sum(xs[:, :, None] * D[None], axis=1)                 # [K, d]
+    d = xs[:, np.asarray(par.pxi)] - xs[:, np.asarray(par.pxj)]   # [K, d]
     # radius reshaped (1, 1) rather than broadcast from rank 0: rank-0
-    # intermediates abort Mosaic when this runs inside the fused trial
-    # kernel; identical values/shape either way.
+    # intermediates abort Mosaic inside Pallas kernels; identical
+    # values/shape either way.
     r2 = jnp.reshape(par.radius, (1, 1)) ** 2
     return r2 - jnp.sum(d * d, axis=-1)[:, None]                  # [K, 1]
 
 
 def collision_jacobian(par: CollisionParams, xs: jnp.ndarray) -> jnp.ndarray:
-    D = jnp.asarray(_collision_sel(par, xs.shape[1]), xs.dtype)
-    d = jnp.sum(xs[:, :, None] * D[None], axis=1)                 # [K, d]
-    # jac[k, 0, :] = -2 * (S_pxi - S_pxj) d  =  -2 * D @ d
-    return (-2.0 * jnp.sum(D[None] * d[:, None, :], axis=2))[:, None, :]
+    K, n = xs.shape
+    pxi, pxj = np.asarray(par.pxi), np.asarray(par.pxj)
+    d = xs[:, pxi] - xs[:, pxj]                                   # [K, d]
+    jac = jnp.zeros((K, 1, n), xs.dtype)
+    jac = jac.at[:, 0, pxi].set(-2.0 * d)
+    jac = jac.at[:, 0, pxj].set(2.0 * d)
+    return jac
+    # (A gather-free one-hot form — x @ (S_pxi - S_pxj) — is required to
+    # lower these inside the fused trial kernel (Mosaic supports only 2D
+    # gathers) but measured -7% on the XLA hot path (round 5, bench 54.5k
+    # -> 50.8k); swap back in from git history when the kernel's other
+    # Mosaic blockers (docs/PERF.md round-5 section) lift.)
 
 
 # --------------------------------------------------------------------------

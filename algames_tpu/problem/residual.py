@@ -347,13 +347,7 @@ def point_lite_res(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
 
     rx = jnp.transpose(qx[:, 1:], (1, 0, 2))
     owner = owner_map_u(spec)
-    # Owner-pick as a one-hot broadcast-sum, not a 3D gather: bitwise the
-    # same selection (single nonzero per column) and Mosaic-lowerable when
-    # this path runs inside the fused trial kernel (ops/trial_pallas.py).
-    selu = np.zeros((spec.p, m))
-    selu[owner, np.arange(m)] = 1.0
-    selu_j = jnp.asarray(selu, ru_cost.dtype)
-    ru = jnp.sum(ru_cost * selu_j[:, None, :], axis=0)            # [T, m]
+    ru = ru_cost[owner, :, np.arange(m)].T
     # Dynamics-dual terms A_k^T lam_k / B_k^T lam_k as one VJP per knot with
     # the p player cotangents pulled through a shared forward pass — p pulls
     # instead of n+m jacfwd tangents (the [T, n, n+m] Jacobian is deferred to
@@ -367,7 +361,10 @@ def point_lite_res(model, spec: ProblemSpec, obj, gc: gcm.GameConstraints,
     # write cost ~4% of device time in the round-3 profile.
     rx = rx + jnp.concatenate([gx[1:], jnp.zeros_like(gx[:1])], axis=0)
     rx = rx - jnp.transpose(traj.lam, (1, 0, 2))
-    ru = ru + jnp.sum(gu * selu_j[None], axis=1)                  # [T, m]
+    ru = ru + gu[:, owner, np.arange(m)]
+    # (One-hot owner-pick forms of the two gathers above are needed for
+    # the fused trial kernel but cost throughput on the XLA hot path —
+    # see collision_jacobian's note in constraints/kernels.py.)
 
     rd = dynamics_residual(model, spec, traj)
 

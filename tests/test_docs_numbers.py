@@ -43,7 +43,7 @@ CHECKS = [
      "benchmarks/results/ibr_bench.json",
      lambda j: j["solves_per_s"]),
     ("BASELINE.md",
-     r"IBR.*?\| ([\d,]+\.?\d*) solves/s",
+     r"\| IBR \(10 Gauss-Seidel.*?\| ([\d,]+\.?\d*) solves/s batched",
      "benchmarks/results/ibr_bench.json",
      lambda j: j["solves_per_s"]),
     # MPC device floor, single scenario
