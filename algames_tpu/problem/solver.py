@@ -229,9 +229,17 @@ def _iteration(model, spec, obj, opts, method, gc, traj, pd, stats, outer_k,
 
     trial_fn = None
     if opts.ls_fused and method in ("pallas", "pallas_interpret"):
-        from ..ops.trial_pallas import fused_trial_for_spec
-        trial_fn = fused_trial_for_spec(
-            model, spec, interpret=(method == "pallas_interpret"))
+        interp = method == "pallas_interpret"
+        # Prefer the hand-written lane-last kernel (Mosaic-lowerable);
+        # outside its specialization fall back to the generic
+        # vmap-in-kernel fusion (interpret-mode only in practice —
+        # blocked by Mosaic on chip, docs/PERF.md round-5 section).
+        from ..ops.trial_kernel import handwritten_trial_for_problem
+        trial_fn = handwritten_trial_for_problem(model, spec, obj, gc,
+                                                 interpret=interp)
+        if trial_fn is None:
+            from ..ops.trial_pallas import fused_trial_for_spec
+            trial_fn = fused_trial_for_spec(model, spec, interpret=interp)
     alpha, j, found, lite = line_search(model, spec, obj, gc, opts, traj,
                                         dtraj, res_norm, reg,
                                         trial_fn=trial_fn)

@@ -82,6 +82,16 @@ def main():
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
     reps = int(os.environ.get("BENCH_REPS", "3"))
 
+    # Fused line-search trial kernel (round 5, ops/trial_kernel.py): the
+    # trial-residual pass runs as one lane-last Pallas kernel — measured
+    # +4% at this shape (54.3k -> 56.5k).  Same solver semantics (per-lane
+    # convergence gates unchanged); trial values differ from the XLA pass
+    # at f32 ULP level, so it is opt-out via BENCH_LS_FUSED=0.
+    import dataclasses
+    if os.environ.get("BENCH_LS_FUSED", "1") != "0":
+        prob = dataclasses.replace(
+            prob, opts=dataclasses.replace(prob.opts, ls_fused=True))
+
     # Sweep shape: chunks of 128 lanes = ONE Pallas lane tile per kernel
     # call and the fewest max-over-lanes straggler trips per chunk.  Since
     # the whole sweep is one dispatch (solve_many), the tunnel's RPC-phase
@@ -122,6 +132,9 @@ def main():
     # headline comparable to the reference's own defaults (VERDICT r2 #2).
     # Goes to stderr: the driver contract is ONE stdout JSON line.
     prob_d, _ = _flagship_problem(dtype=dtype, outer=7, inner=20)
+    if os.environ.get("BENCH_LS_FUSED", "1") != "0":
+        prob_d = dataclasses.replace(
+            prob_d, opts=dataclasses.replace(prob_d.opts, ls_fused=True))
     sps_d, qd = _measure(ag, prob_d, dtype, batch, chunks, reps)
     print(f"[bench-default-budget] {batch}x{chunks}: {sps_d:.0f} solves/s",
           file=sys.stderr)
