@@ -48,6 +48,12 @@ def main():
     outer = int(os.environ.get("MC_OUTER", "3"))
     inner = int(os.environ.get("MC_INNER", "8"))
     prob, spec = _flagship_problem(dtype=dtype, outer=outer, inner=inner)
+    # Fused line-search trial kernel (round 5) — same default as bench.py.
+    import dataclasses
+    ls_fused = os.environ.get("MC_LS_FUSED", "1") != "0"
+    if ls_fused:
+        prob = dataclasses.replace(
+            prob, opts=dataclasses.replace(prob.opts, ls_fused=True))
     batch = int(os.environ.get("MC_BATCH", "4096"))
     mesh = make_mesh()
     x0s = jnp.tile(prob.x0[None], (batch, 1))
@@ -76,6 +82,7 @@ def main():
         "eps_dyn": prob.opts.eps_dyn, "eps_con": prob.opts.eps_con,
         "eps_sta": prob.opts.eps_sta, "eps_opt": prob.opts.eps_opt,
         "outer_iter": outer, "inner_iter": inner,
+        "ls_fused": ls_fused,
         "solves_per_s": round(batch / t, 2),
         "sec_per_batch": round(t, 4),
         "converged_frac": round(float(summary["converged_frac"]), 4),

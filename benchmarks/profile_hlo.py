@@ -42,6 +42,10 @@ def main():
     from __graft_entry__ import _flagship_problem
 
     prob, spec = _flagship_problem(dtype=dtype, outer=3, inner=8)
+    if os.environ.get("PROFILE_LS_FUSED", "1") != "0":
+        import dataclasses
+        prob = dataclasses.replace(
+            prob, opts=dataclasses.replace(prob.opts, ls_fused=True))
     key = jax.random.PRNGKey(0)
     n_tot = args.chunks * args.batch
     x0s = jnp.tile(prob.x0[None], (n_tot, 1))
